@@ -1,0 +1,155 @@
+"""Golden tests for the tokenizer automaton.
+
+Cases ported behaviorally from the reference's only test file
+(test/plugins/Spider/SearchTokenizerTest.java:8-176) — those construct the
+tokenizer with pairs=True; production indexing uses pairs=False
+(Spider.java:682-684), covered by additional cases below.
+"""
+
+import pytest
+
+from spider_spark.functions.tokenizer import (
+    is_stop_word,
+    tokenize,
+    tokenize_series,
+)
+
+import pandas as pd
+
+
+def compare(text, expected, pairs=True):
+    assert tokenize(text, return_pairs=pairs) == expected, text
+
+
+def test_english():
+    hello_world = ["hello", "world"]
+    for t in [
+        "Hello World",
+        "hello    world",
+        "hello    world  ",
+        "hello\nworld  ",
+        "hello\n world  ",
+        "hello, world  ",
+        "hello, world! ",
+        "hello, world!",
+    ]:
+        compare(t, hello_world)
+
+
+def test_cjk_chinese():
+    # NOTE: the Java golden (SearchTokenizerTest.java:22-29) lists only 6
+    # tokens, but its compare() harness consumes one extra trailing token
+    # inside a debug println (SearchTokenizerTest.java:191-193) before
+    # asserting exhaustion — the automaton genuinely emits the final "四".
+    compare(
+        "一二三四",
+        ["一", "一二", "二", "二三", "三", "三四", "四"],
+    )
+
+
+def test_cjk_chinese_ext_b():
+    # Java's surrogate pair 𣎴 == U+233B4 (one Python char)
+    ext_b = "\U000233B4"
+    compare(
+        "樹" + ext_b + "子",
+        ["樹", "樹" + ext_b, ext_b, ext_b + "子", "子"],
+    )
+
+
+def test_cjk_chinese_punctuation():
+    compare(
+        "起初，　神創造天地。",
+        [
+            "起", "起初", "初",
+            "神", "神創", "創", "創造", "造",
+            "造天", "天", "天地", "地",
+        ],
+    )
+
+
+def test_cjk_korean():
+    compare(
+        "태초에하나님이천지를창조하시니라!",
+        [
+            "태", "태초", "초", "초에", "에",
+            "에하", "하", "하나", "나", "나님",
+            "님", "님이", "이", "이천", "천",
+            "천지", "지", "지를", "를", "를창",
+            "창", "창조", "조", "조하", "하",
+            "하시", "시", "시니", "니", "니라",
+            "라",
+        ],
+    )
+
+
+def test_cjk_japanese():
+    compare(
+        "はじめに神は天と地とを創造された。",
+        [
+            "は", "はじ", "じ", "じめ", "め",
+            "めに", "に", "に神", "神", "神は",
+            "は", "は天", "天", "天と", "と",
+            "と地", "地", "地と", "と", "とを",
+            "を", "を創", "創", "創造", "造",
+            "造さ", "さ", "され", "れ", "れた",
+            "た",
+        ],
+    )
+
+
+def test_mixed():
+    compare("一" + "1" + "丁",
+            ["一", "一" + "1", "1" + "丁", "丁"])
+    compare("一" + "1" + "a", ["一", "一" + "1", "a"])
+    compare("一" + "a" + "丁", ["一", "a", "丁"])
+    compare("a1a", ["a1a"])
+    compare("a1a一丁", ["a1a", "一", "一丁", "丁"])
+    compare("a1一丁", ["a1", "一", "一丁", "丁"])
+    compare("a1 一丁", ["a1", "一", "一丁", "丁"])
+
+
+def test_pairs_false_production_mode():
+    # Spider.java:682-684 disables pairs for positional accuracy
+    compare("一二三", ["一", "二", "三"], pairs=False)
+    compare("Hello World", ["hello", "world"], pairs=False)
+    compare("一" + "1" + "丁", ["一", "丁"], pairs=False)
+
+
+def test_apostrophes():
+    # mid-word apostrophes kept, trailing stripped (SearchTokenizer.java:23-24,74-92)
+    compare("don't", ["don't"], pairs=False)
+    compare("cats'", ["cats"], pairs=False)
+    compare("'tis", ["tis"], pairs=False)  # no leading sb → apostrophe dropped
+
+
+def test_non_letter_runs():
+    # pure-digit (UNDEF) runs: <3 chars dropped at a separator, >=3 kept
+    # (KEEP_NON_LETTER_MIN_CHARS=3, SearchTokenizer.java:84).  Quirk preserved
+    # from the reference: the END-of-input flush has no length check
+    # (SearchTokenizer.java:100-109), so a short digit run at the very end
+    # IS emitted.
+    compare("12 345", ["345"], pairs=False)
+    compare("1234", ["1234"], pairs=False)
+    compare("hello 42 world", ["hello", "world"], pairs=False)
+    compare("hello 42", ["hello", "42"], pairs=False)  # end-flush quirk
+
+
+def test_normalization():
+    compare("HeLLo WoRLD", ["hello", "world"], pairs=False)
+
+
+def test_stop_words():
+    for w in ("the", "and", "that", "have", "for"):
+        assert is_stop_word(w)
+    assert is_stop_word("a")        # too short
+    assert is_stop_word("ab")       # too short, not CJK
+    assert not is_stop_word("abc")
+    assert not is_stop_word("一")       # single CJK kept
+    assert not is_stop_word("1丁")      # digit+CJK pair kept
+    assert is_stop_word("12")               # digit pair dropped
+
+
+def test_tokenize_series():
+    s = pd.Series(["Hello World", None, "一二"])
+    out = tokenize_series(s)
+    assert out.tolist() == [["hello", "world"], [], ["一", "二"]]

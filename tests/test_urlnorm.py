@@ -1,0 +1,58 @@
+"""URL canonicalizer spec tests (graft of Spider.java:170-179 USK rules)."""
+
+from spider_spark.functions.urlnorm import (
+    canonicalize,
+    extract_edition,
+    extract_host,
+    extract_path,
+)
+
+
+def test_case_and_ports():
+    assert canonicalize("HTTP://Example.COM/Path") == "http://example.com/Path"
+    assert canonicalize("http://example.com:80/a") == "http://example.com/a"
+    assert canonicalize("https://example.com:443/a") == "https://example.com/a"
+    assert canonicalize("http://example.com:8080/a") == "http://example.com:8080/a"
+
+
+def test_fragment_and_path():
+    assert canonicalize("http://h.org/a/b#frag") == "http://h.org/a/b"
+    assert canonicalize("http://h.org//a///b") == "http://h.org/a/b"
+    assert canonicalize("http://h.org/a/./b/../c") == "http://h.org/a/c"
+    assert canonicalize("http://h.org") == "http://h.org/"
+    assert canonicalize("http://h.org/../..") == "http://h.org/"
+
+
+def test_edition_usk_rule():
+    # negative suggested edition → absolute value (Spider.java:171-173)
+    assert canonicalize("http://h.org/site?edition=-5") == "http://h.org/site?edition=5"
+    assert canonicalize("http://h.org/site?edition=7") == "http://h.org/site?edition=7"
+    assert canonicalize("http://h.org/site?x=1&edition=-2") == \
+        "http://h.org/site?edition=2&x=1"
+    assert extract_edition("http://h.org/site?edition=-5") == 5
+    assert extract_edition("http://h.org/site") is None
+
+
+def test_malformed():
+    assert canonicalize("not a url") is None
+    assert canonicalize("ftp://h.org/x") is None
+    assert canonicalize("http:///nopath") is None
+    assert canonicalize("") is None
+    assert canonicalize(None) is None
+
+
+def test_idempotent():
+    urls = [
+        "HTTP://A.com:80//x/./y/../z?edition=-3#f",
+        "https://b.org/q",
+        "http://c.net:9999/a//b",
+    ]
+    for u in urls:
+        c = canonicalize(u)
+        assert canonicalize(c) == c
+
+
+def test_host_path():
+    assert extract_host("http://a.com:8080/x") == "a.com:8080"
+    assert extract_host("http://A.com/x") == "a.com"
+    assert extract_path("http://a.com/x/y?q=1") == "/x/y"
