@@ -1,0 +1,68 @@
+"""Crawl configuration — parity with the reference's Config record
+(db/Config.java:15-64) plus the web-scale graft knobs (politeness,
+robots, salting) from SURVEY.md §0.1/§7.
+
+All time-dependent behavior is driven by an injected ``round_hour``
+(not wall-clock) so runs are bit-identically reproducible.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# Default badlisted extensions, db/Config.java:48-56.
+DEFAULT_BADLISTED_EXTENSIONS: tuple[str, ...] = (
+    ".ico", ".bmp", ".png", ".jpg", ".jpeg", ".gif", ".tif", ".tiff",
+    ".ani", ".raw", ".svg",
+    ".zip", ".jar", ".gz", ".bz2", ".rar", ".sit",
+    ".7z", ".tar", ".arj", ".rpm", ".deb",
+    ".xpi", ".ace", ".cab", ".lza", ".lzh",
+    ".exe", ".iso", ".bin", ".dll", ".nrg", ".dmg", ".drv", ".img",
+    ".msi", ".nds", ".vcd",
+    ".mpg", ".ogg", ".ogv", ".mp3", ".avi", ".wv", ".swf", ".wmv",
+    ".mkv", ".flac", ".ogm", ".divx", ".mpeg", ".rm", ".wma", ".asf",
+    ".rmvb", ".mov", ".flv", ".mp4", ".m4v", ".wav", ".aac", ".cda",
+    ".fla", ".m4a", ".midi", ".vob",
+    ".css", ".sig", ".gml", ".df", ".cbr", ".gf", ".pdf", ".db",
+    ".dbf", ".accdb", ".dat", ".docx", ".dwg", ".mdf", ".odg", ".odt",
+    ".ods", ".pps", ".wdb", ".xls", ".xlsx",
+)
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # --- reference-parity knobs (db/Config.java:37-64) ---
+    badlisted_extensions: tuple[str, ...] = DEFAULT_BADLISTED_EXTENSIONS
+    badlisted_keywords: tuple[str, ...] = ()
+    # maxParallelRequests working / non-working; reference defaults are 0/0
+    # ("crawl disabled until configured") — we default to a usable budget.
+    max_parallel_working: int = 100
+    max_parallel_non_working: int = 200
+    begin_working_period: int = 23   # db/Config.java:45
+    end_working_period: int = 7      # db/Config.java:46
+    max_shown_uris: int = 50         # db/Config.java:41
+    index_title: str = "Spider index"
+    index_owner: str = "Freenet"
+    index_owner_email: str = "(nil)"
+    # newFormatIndexBufferLimit analog: postings rows per snapshot commit.
+    # Under batch rounds every round commits its delta, so this only caps
+    # an optional mid-round split (db/Config.java:62 ≈ 4 MB).
+    buffer_limit_mb: int = 4
+
+    # --- graft knobs (SURVEY.md §0.1 axes A+B) ---
+    default_host_quota: int = 8      # per-host max fetches per round (politeness)
+    num_salts: int = 4               # sub-partitions for hot-host ranking skew
+    frontier_buckets: int = 32       # bucket(url_hash) partition count
+    bloom_bits_per_key: int = 10
+    respect_robots: bool = True
+
+    def max_parallel(self, round_hour: int) -> int:
+        """Working/non-working budget switch (db/Config.java:132-153),
+        driven by an injected hour for determinism.  Both half-open
+        interval orientations handled, midnight wrap included."""
+        b, e = self.begin_working_period, self.end_working_period
+        if b < e:
+            working = b < round_hour < e
+        else:
+            working = round_hour > b or round_hour < e
+        return self.max_parallel_working if working else self.max_parallel_non_working

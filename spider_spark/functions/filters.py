@@ -1,0 +1,152 @@
+"""Probabilistic membership filters for the URL-seen set.
+
+Graft of the reference's ``uriPage`` unique B-tree index — the URL-seen
+set (db/PerstRoot.java:32,46-67) — per the north rule: a **Bloom filter**
+prefilter ahead of the exact anti-join, with a **cuckoo filter** fallback
+where force-requeue (Spider.java:185-188) semantically deletes from the
+"currently queued-or-done" set.
+
+Both filters are *prefilters only*: every admission is confirmed by an
+exact anti-join against the ``seen`` table, so false positives cannot
+corrupt the seen set (SURVEY.md §7.3).  The filter state is a plain
+numpy array — cheap to broadcast to executors and probe inside an
+Arrow-batched pandas UDF.
+
+Hashing is BLAKE2b-derived and fully deterministic across processes
+(unlike Python's salted ``hash()``), which the bit-identical-resume
+requirement needs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+
+def _hash128(key: str) -> tuple[int, int]:
+    d = hashlib.blake2b(key.encode("utf-8"), digest_size=16).digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:], "little") | 1,  # odd → good stride
+    )
+
+
+class BloomFilter:
+    """Classic Bloom filter over strings (Kirsch–Mitzenmacher double
+    hashing).  Serializable as (bits, num_hashes) for broadcast."""
+
+    def __init__(self, capacity: int, bits_per_key: int = 10):
+        self.m = max(64, capacity * bits_per_key)
+        self.k = max(1, int(round(bits_per_key * 0.6931)))
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    def add(self, key: str) -> None:
+        h1, h2 = _hash128(key)
+        for i in range(self.k):
+            pos = (h1 + i * h2) % self.m
+            self.bits[pos >> 6] |= np.uint64(1 << (pos & 63))
+
+    def add_many(self, keys) -> None:
+        for key in keys:
+            self.add(key)
+
+    def __contains__(self, key: str) -> bool:
+        h1, h2 = _hash128(key)
+        for i in range(self.k):
+            pos = (h1 + i * h2) % self.m
+            if not (int(self.bits[pos >> 6]) >> (pos & 63)) & 1:
+                return False
+        return True
+
+    def contains_series(self, keys: pd.Series) -> pd.Series:
+        """Arrow-batch probe: Series[str] -> Series[bool]."""
+        bits, m, k = self.bits, self.m, self.k
+
+        def probe(key):
+            if key is None:
+                return False
+            h1, h2 = _hash128(key)
+            for i in range(k):
+                pos = (h1 + i * h2) % m
+                if not (int(bits[pos >> 6]) >> (pos & 63)) & 1:
+                    return False
+            return True
+
+        return keys.map(probe)
+
+
+class CuckooFilter:
+    """Cuckoo filter (Fan et al., CoNEXT'14 — public algorithm):
+    4-slot buckets, 16-bit fingerprints, partial-key cuckoo hashing.
+    Supports DELETE, which Bloom cannot — needed because force-requeue
+    (SURVEY.md §2 B5) removes entries from the "queued-or-done" view."""
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int):
+        nb = 1
+        while nb * self.SLOTS < capacity * 1.3:
+            nb <<= 1
+        self.num_buckets = nb
+        self.table = np.zeros((nb, self.SLOTS), dtype=np.uint16)
+        # deterministic "random" eviction slot counter
+        self._kick_seq = 0
+
+    def _fp_and_buckets(self, key: str) -> tuple[int, int, int]:
+        h1, h2 = _hash128(key)
+        fp = (h1 & 0xFFFF) or 1  # fingerprint 0 means empty slot
+        i1 = h2 % self.num_buckets
+        i2 = (i1 ^ self._fp_hash(fp)) % self.num_buckets
+        return fp, i1, i2
+
+    @staticmethod
+    def _fp_hash(fp: int) -> int:
+        # small deterministic scramble of the fingerprint
+        x = fp * 0x5BD1E995
+        return (x ^ (x >> 13)) & 0x7FFFFFFF
+
+    def _alt(self, i: int, fp: int) -> int:
+        return (i ^ self._fp_hash(fp)) % self.num_buckets
+
+    def _try_put(self, i: int, fp: int) -> bool:
+        row = self.table[i]
+        for s in range(self.SLOTS):
+            if row[s] == 0:
+                row[s] = fp
+                return True
+        return False
+
+    def add(self, key: str) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(key)
+        if self._try_put(i1, fp) or self._try_put(i2, fp):
+            return True
+        # evict deterministically
+        i = i1 if (self._kick_seq & 1) == 0 else i2
+        for _ in range(self.MAX_KICKS):
+            s = self._kick_seq % self.SLOTS
+            self._kick_seq += 1
+            fp, self.table[i][s] = int(self.table[i][s]), fp
+            i = self._alt(i, fp)
+            if self._try_put(i, fp):
+                return True
+        return False  # table full — caller should rebuild larger
+
+    def __contains__(self, key: str) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(key)
+        return fp in self.table[i1] or fp in self.table[i2]
+
+    def delete(self, key: str) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(key)
+        for i in (i1, i2):
+            row = self.table[i]
+            for s in range(self.SLOTS):
+                if row[s] == fp:
+                    row[s] = 0
+                    return True
+        return False
+
+    def contains_series(self, keys: pd.Series) -> pd.Series:
+        return keys.map(lambda k: k is not None and k in self)

@@ -1,0 +1,92 @@
+"""Crash/resume semantics (SURVEY.md §7.5): the catalog swap is the
+commit point; a new engine over the same store continues bit-identically
+(the NOT_PUSHED→QUEUED analog, LibraryBuffer.java:97-102)."""
+
+import json
+import os
+import shutil
+
+from spider_spark.engine import CrawlEngine
+from spider_spark.state.store import SnapshotStore
+
+
+def _mk_engine(spark, corpus_dir, crawl_config, root):
+    return CrawlEngine(
+        spark, SnapshotStore(root), corpus_dir + "/documents.parquet",
+        crawl_config,
+        robots=spark.read.parquet(corpus_dir + "/robots.parquet"),
+        hosts=spark.read.parquet(corpus_dir + "/hosts.parquet"),
+    )
+
+
+def _state_signature(engine):
+    frontier = sorted(
+        map(tuple, engine.frontier().toPandas().fillna(-1).values.tolist())
+    )
+    log = sorted(
+        map(tuple, engine.crawl_log().toPandas().values.tolist())
+    )
+    postings = sorted(
+        (r["term"], r["doc_id"], r["rel"], tuple(r["positions"]))
+        for r in engine.postings().toPandas().to_dict("records")
+    )
+    return frontier, log, postings
+
+
+def test_kill_and_resume_bit_identical(spark, corpus_dir, corpus, crawl_config, tmp_path):
+    root_a = str(tmp_path / "uninterrupted")
+    root_b = str(tmp_path / "resumed")
+
+    eng_a = _mk_engine(spark, corpus_dir, crawl_config, root_a)
+    eng_a.bootstrap(corpus["seeds"])
+    eng_a.run(4)
+
+    # run 2 rounds, "crash" (drop the engine object), resume with a fresh
+    # engine instance over the same store, run 2 more
+    eng_b1 = _mk_engine(spark, corpus_dir, crawl_config, root_b)
+    eng_b1.bootstrap(corpus["seeds"])
+    eng_b1.run(2)
+    del eng_b1
+    eng_b2 = _mk_engine(spark, corpus_dir, crawl_config, root_b)
+    eng_b2.bootstrap(corpus["seeds"])  # must be a no-op on resume
+    eng_b2.run(2)
+
+    assert _state_signature(eng_a) == _state_signature(eng_b2)
+
+
+def test_torn_round_is_invisible(spark, corpus_dir, corpus, crawl_config, tmp_path):
+    """Snapshot dirs written without a catalog swap must not be read —
+    simulates a crash mid-commit; gc_orphans cleans them."""
+    root = str(tmp_path / "torn")
+    eng = _mk_engine(spark, corpus_dir, crawl_config, root)
+    eng.bootstrap(corpus["seeds"])
+    eng.run(2)
+    store = eng.store
+    cat_before = store.read_catalog()
+
+    # fake a torn write: an orphan snapshot dir with garbage content
+    orphan = os.path.join(root, "frontier", "snap-000099")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk"), "w") as f:
+        f.write("torn")
+
+    assert store.read_catalog() == cat_before
+    removed = store.gc_orphans()
+    assert "frontier/snap-000099" in removed
+    assert not os.path.exists(orphan)
+    # engine still runs fine afterwards
+    eng2 = _mk_engine(spark, corpus_dir, crawl_config, root)
+    assert eng2.run_round() >= 0
+
+
+def test_lineage_records(spark, corpus_dir, corpus, crawl_config, tmp_path):
+    root = str(tmp_path / "lineage")
+    eng = _mk_engine(spark, corpus_dir, crawl_config, root)
+    eng.bootstrap(corpus["seeds"])
+    eng.run(2)
+    lineage = eng.store.read_catalog()["lineage"]
+    rounds = [e["round"] for e in lineage]
+    assert rounds == [0, 1, 2]
+    for e in lineage:
+        assert "next_id" in e["metrics"]
+        assert e["metrics"]["fetched"] >= 0
