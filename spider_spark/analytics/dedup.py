@@ -1,0 +1,275 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families over ``documents(doc_id, text, ...)``:
+
+  exact        — hash-groupBy on normalized text (one shuffle, map-side
+                 partial agg)
+  minhash-LSH  — shingle → k-permutation minhash signature (numpy,
+                 Arrow-batched) → band buckets → bucket equi-join →
+                 exact-Jaccard verification of candidates only
+  simhash      — 64-bit weighted token hash; near-dup iff Hamming
+                 distance ≤ k; banded into 4×16-bit chunks so candidate
+                 pairs come from equi-joins, never O(n²)
+  ngram-jaccard— exact n-gram Jaccard on candidate pairs (verification
+                 primitive, also exposed standalone)
+  embedding    — cosine near-dup via random-hyperplane LSH buckets +
+                 exact cosine verify (see similarity.py for the kernels)
+
+Scale notes: every family is (signature map) → (equi-join on bucket) →
+(verify pairs).  The only shuffles are the bucket joins, whose keys are
+uniform by construction (hash buckets); candidate verification touches
+only same-bucket pairs.  ``doc_id < doc_id2`` keeps pairs canonical and
+halves the join output.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """crc32 hashes of word n-gram shingles (deterministic, C-speed)."""
+    words = text.lower().split()
+    if len(words) < n:
+        shingles = [" ".join(words)] if words else []
+    else:
+        shingles = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+    if not shingles:
+        return np.array([0], dtype=np.uint64)
+    return np.unique(
+        np.array([zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.uint64)
+    )
+
+
+def _perm_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def make_minhash_udf(num_hashes: int = 128, shingle_n: int = 3, seed: int = 42):
+    """Arrow-batched minhash signature UDF: text -> array<long>[k]."""
+    a, b = _perm_params(num_hashes, seed)
+
+    def _sig(text):
+        if text is None:
+            return [0] * num_hashes
+        h = _shingle_hashes(text, shingle_n)
+        # (a*x + b) mod p for all k permutations, vectorized over shingles
+        with np.errstate(over="ignore"):
+            vals = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+        return vals.min(axis=0).astype(np.int64).tolist()
+
+    def _batch(texts):
+        return texts.map(_sig)
+
+    return pandas_udf(_batch, ArrayType(LongType()))
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: (doc_id, doc_id2, est_jaccard).
+
+    Signature → band hashes → bucket self-join → signature-level Jaccard
+    estimate filter.  rows_per_band = num_hashes // bands."""
+    rows = num_hashes // bands
+    sig_udf = make_minhash_udf(num_hashes, shingle_n, seed)
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("sig")
+    )
+    banded = sigs.select(
+        "doc_id", "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.slice("sig", b * rows + 1, rows), b),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id"),
+            F.col("r.doc_id").alias("doc_id2"),
+            F.col("l.sig").alias("sig1"),
+            F.col("r.sig").alias("sig2"),
+        )
+        .dropDuplicates(["doc_id", "doc_id2"])
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        (
+            F.size(F.arrays_zip("sig1", "sig2").alias("z"))
+            - F.size(F.filter(F.arrays_zip("sig1", "sig2"),
+                              lambda z: z["sig1"] != z["sig2"]))
+        ).cast("double") / F.lit(float(len_sig := num_hashes)),
+    )
+    return est.filter(F.col("est_jaccard") >= jaccard_threshold).select(
+        "doc_id", "doc_id2", "est_jaccard"
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: normalized-text hash → group, keep groups of
+    size > 1.  Returns (content_hash, dup_count, doc_ids sorted)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").cast("long").alias("dup_count"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def make_simhash_udf(seed: int = 42):
+    """64-bit SimHash over whitespace tokens (crc32 token hashes,
+    frequency-weighted bit votes)."""
+
+    def _simhash(text):
+        if not text:
+            return 0
+        tokens = text.lower().split()
+        if not tokens:
+            return 0
+        hs = np.array([zlib.crc32((t + str(seed)).encode()) for t in tokens],
+                      dtype=np.uint64)
+        # extend 32-bit crc to 64 bits deterministically
+        with np.errstate(over="ignore"):
+            hs = hs * np.uint64(0x9E3779B97F4A7C15)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        out = np.uint64(0)
+        for i in range(64):
+            if votes[i] > 0:
+                out |= np.uint64(1) << np.uint64(i)
+        return int(out & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+    def _batch(texts):
+        return texts.map(_simhash).astype("int64")
+
+    return pandas_udf(_batch, LongType())
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """SimHash near-dup pairs (doc_id, doc_id2, hamming).
+
+    Pigeonhole banding: the 64-bit signature is split into
+    (max_hamming + 1) chunks, so any pair within the Hamming budget
+    must agree on ≥1 chunk → candidates come from equi-joins on
+    (chunk_idx, chunk), never an O(n²) cross product."""
+    n_chunks = min(max_hamming + 1, 16)
+    base_w, rem = divmod(64, n_chunks)
+    widths = [base_w + (1 if i < rem else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+
+    sim = make_simhash_udf(seed)
+    sigs = docs.select(F.col(id_col).alias("doc_id"),
+                       sim(F.col(text_col)).alias("simhash"))
+    chunks = sigs.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                for i in range(n_chunks)
+            ])
+        ).alias("chunk_idx", "chunk"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id"),
+            F.col("r.doc_id").alias("doc_id2"),
+            F.col("l.simhash").alias("h1"),
+            F.col("r.simhash").alias("h2"),
+        )
+        .dropDuplicates(["doc_id", "doc_id2"])
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id", "doc_id2", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for given candidate (doc_id, doc_id2)
+    pairs — the verification stage after any LSH candidate generator."""
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.size(F.split(F.lower(F.col(text_col)), r"\s+")) - n,
+                        F.lit(0),
+                    ),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.split(F.lower(F.col(text_col)), r"\s+"), i + 1, n)
+                ),
+            )
+        ).alias("grams"),
+    )
+    g1 = grams.withColumnRenamed("grams", "g1")
+    g2 = grams.select(F.col("doc_id").alias("doc_id2"), F.col("grams").alias("g2"))
+    inter = F.size(F.array_intersect("g1", "g2"))
+    union = F.size(F.array_union("g1", "g2"))
+    return (
+        pairs.join(g1, "doc_id")
+        .join(g2, "doc_id2")
+        .withColumn(
+            "jaccard",
+            (inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")),
+        )
+        .select("doc_id", "doc_id2", "jaccard")
+    )

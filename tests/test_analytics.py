@@ -1,0 +1,173 @@
+"""Training-pipeline operator tests: dedup, similarity, text, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark.analytics import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the river bend today"),  # near dup of 1
+        (4, "completely different content about spark dataframes and shuffle tuning"),
+        (5, "el rápido zorro marrón salta sobre el perro perezoso cada mañana"),
+        (6, "数据处理引擎在大规模集群上运行"),
+        (7, ""),
+        (8, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = dedup.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["dup_count"] == 2
+    assert out[0]["doc_ids"] == [1, 2]
+
+
+def test_minhash_near_duplicates(docs):
+    pairs = {
+        (r["doc_id"], r["doc_id2"]): r["est_jaccard"]
+        for r in dedup.minhash_near_duplicates(
+            docs, jaccard_threshold=0.5, num_hashes=64, bands=16
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0   # exact dup
+    assert (1, 3) in pairs                              # near dup
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_near_duplicates(spark):
+    # simhash needs longer docs: a 1-word edit in a long doc flips few
+    # bits, in a short doc it flips many (which is correct behavior)
+    base = (
+        "data processing engines schedule distributed tasks across many "
+        "executor nodes while the optimizer prunes partitions pushes filters "
+        "and broadcasts small tables to avoid expensive shuffles in large "
+        "analytical queries over columnar storage formats with vectorized "
+        "readers and adaptive execution features enabled "
+    ) * 2
+    rows = [
+        (1, base),
+        (2, base),
+        (3, base.replace("optimizer", "planner")),
+        (4, "completely unrelated tiny document about gardening and soil"),
+    ]
+    long_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["doc_id2"]): r["hamming"] for r in
+           dedup.simhash_near_duplicates(long_docs, max_hamming=6).collect()}
+    assert out[(1, 2)] == 0
+    assert (1, 3) in out and 0 < out[(1, 3)] <= 6
+    assert (1, 4) not in out
+
+
+def test_ngram_jaccard_verification(docs, spark):
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_id long, doc_id2 long"
+    )
+    out = {(r["doc_id"], r["doc_id2"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(docs, cand).collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0.3 < out[(1, 3)] < 1.0
+    assert out[(1, 4)] < 0.1
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((20, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # 20-21: near-identical pair
+    rows.append((20, [float(x) for x in base[0] + 0.001 * rng.standard_normal(8)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk(vectors):
+    out = similarity.brute_force_topk(vectors, vectors.filter("vec_id = 0"), k=3)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert rows[0]["rank"] == 1
+    top = {r["rank"]: r["neighbor_id"] for r in rows}
+    assert top[1] == 20  # the planted near-duplicate
+    assert all(r["cosine"] <= 1.0 for r in rows)
+
+
+def test_lsh_topk_finds_planted_neighbor(vectors):
+    out = similarity.lsh_topk(
+        vectors, vectors.filter("vec_id = 0"), dim=8, k=3, n_bits=8
+    ).collect()
+    assert any(r["neighbor_id"] == 20 and r["rank"] == 1 for r in out)
+
+
+def test_embedding_near_duplicates(vectors):
+    pairs = {(r["doc_id"], r["doc_id2"]) for r in
+             similarity.embedding_near_duplicates(
+                 vectors, dim=8, cosine_threshold=0.99, n_bits=8).collect()}
+    assert (0, 20) in pairs
+
+
+def test_ivf_topk(vectors):
+    cent = similarity.ivf_build(vectors, dim=8, n_cells=4, sample=32)
+    out = similarity.ivf_topk(
+        vectors, vectors.filter("vec_id = 0"), cent, k=3, n_probe=2
+    ).collect()
+    assert len(out) >= 1
+    assert out[0]["rank"] == 1
+
+
+def test_quality_and_token_counts(docs):
+    out = (
+        text.quality_score(docs)
+        .withColumn("ws_tokens", text.whitespace_token_count(F.col("text")))
+        .withColumn("bpe_tokens", text.bpe_token_count(F.col("text")))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[7, "ws_tokens"] == 0
+    assert out.loc[8, "ws_tokens"] == 2
+    assert out.loc[1, "ws_tokens"] == 14
+    assert out.loc[1, "bpe_tokens"] >= 14
+    assert 0 <= out.loc[1, "quality"] <= 1
+    assert out.loc[1, "quality"] > out.loc[7, "quality"]
+    assert out.loc[1, "stopword_ratio"] > 0
+
+
+def test_lang_id(docs, spark):
+    out = {r["doc_id"]: r["lang"] for r in docs.withColumn(
+        "lang", text.lang_id_udf(F.col("text"))).collect()}
+    assert out[1] == "en"
+    assert out[5] == "es"
+    assert out[6] == "zh"
+    assert out[7] == "und"
+
+
+def test_fingerprint_stability(docs, spark):
+    a = {r["doc_id"]: r["fp"] for r in docs.withColumn(
+        "fp", text.fingerprint_udf(F.col("text"))).collect()}
+    b = {r["doc_id"]: r["fp"] for r in docs.withColumn(
+        "fp", text.fingerprint_udf(F.col("text"))).collect()}
+    assert a == b
+    assert a[1] == a[2]            # identical text → identical fp
+    assert a[1] != a[3]
+    # whitespace-normalization invariance
+    assert text.doc_fingerprint("hello   world") == text.doc_fingerprint("hello world")
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.make_media_table(spark, n=30)
+    img = multimodal.extract_image_features(media)
+    rows = img.collect()
+    assert len(rows) == 10  # every 3rd row is an image
+    assert all(len(r["features"]) == 16 for r in rows)
+    frames = multimodal.sample_video_frames(media, every_n=10)
+    frows = frames.collect()
+    assert len(frows) > 0
+    assert all(r["frame_idx"] % 10 == 0 for r in frows)
+    # determinism
+    assert [r["features"] for r in img.collect()] == [r["features"] for r in rows]
