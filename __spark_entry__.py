@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``      — flagship end-to-end crawl (derive interleaved corpus
+                 from sf0.001 documents → 3 CrawlEngine rounds →
+                 postings), SURVEY.md §7.4's minimum slice at driver
+                 scale.
+``queries``    — one entry per operator family from SURVEY.md §2 plus
+                 the training-pipeline operators (dedup / ANN / text).
+``oracle_sql`` — DuckDB twins for every SQL-expressible query; the
+                 handful of rows-only entries (CJK tokenizer automaton,
+                 probabilistic signatures, LSH) are intentionally
+                 omitted and covered by pytest golden/parity tests.
 """
 
 from __future__ import annotations
@@ -13,26 +18,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from spider_spark import queries as _q
+from spider_spark.flagship import run_flagship
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _, postings = run_flagship(spark, "/root/testdata/sf0.001",
+                               n_rounds=3, budget=64)
+    return postings
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracle_sql()

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + flagship crawl at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total seconds>, "unit": "sec",
+   "queries": {name: seconds, ...}, "sf": ...,
+   "crawl": {"urls": N, "seconds": s, "urls_per_sec": r}}
+
+The headline number for BASELINE.md's throughput metric is
+crawl.urls_per_sec (URLs fetched+indexed per second through the full
+admission→schedule→fetch→parse→index→commit pipeline).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spider_spark import queries as Q
+from spider_spark.flagship import run_flagship
+from spider_spark.session import get_spark
+
+HEADLINE = [
+    "topk_per_host",
+    "seen_antijoin",
+    "term_doc_stats",
+    "tf_relevance",
+    "tokenizer_automaton",
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_bruteforce",
+    "quality_scores",
+    "token_counts",
+    "event_sessions",
+    "pricing_summary",
+    "top_customers",
+]
+
+CRAWL_ROUNDS = int(os.environ.get("SPIDER_BENCH_ROUNDS", "4"))
+CRAWL_BUDGET = int(os.environ.get("SPIDER_BENCH_BUDGET", "1024"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="spider_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = Q.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = registry[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    workdir = tempfile.mkdtemp(prefix="spider_bench_")
+    try:
+        t0 = time.time()
+        eng, postings = run_flagship(
+            spark, sf_dir, n_rounds=CRAWL_ROUNDS, budget=CRAWL_BUDGET,
+            host_quota=max(4, CRAWL_BUDGET // 8), workdir=workdir,
+        )
+        crawl_secs = time.time() - t0
+        urls = sum(e["metrics"]["fetched"]
+                   for e in eng.store.read_catalog()["lineage"])
+        n_postings = postings.count()
+        times["crawl"] = round(crawl_secs, 3)
+        crawl = {
+            "rounds": CRAWL_ROUNDS,
+            "urls": urls,
+            "postings": n_postings,
+            "seconds": round(crawl_secs, 3),
+            "urls_per_sec": round(urls / crawl_secs, 2) if crawl_secs else 0.0,
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    out = {
+        "metric": "headline_queries_plus_crawl_wall_seconds",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "crawl": crawl,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -88,8 +88,10 @@ class CrawlEngine:
         if (self._bloom_count + n_new) * self.config.bloom_bits_per_key > self.bloom.m:
             self.bloom = None  # force rebuild next round
             return
-        for r in new_rows.select("url").toLocalIterator():
-            self.bloom.add(r.url)
+        # one collect of just the new url strings (bounded by the round's
+        # admission count); at 10^10 scale this becomes the same
+        # per-partition build + OR-merge as _build_bloom
+        self.bloom.add_many(r.url for r in new_rows.select("url").collect())
         self._bloom_count += n_new
 
     # -- bootstrap (A1 seed source) ---------------------------------------

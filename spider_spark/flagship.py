@@ -1,0 +1,103 @@
+"""Flagship end-to-end crawl over a corpus derived from the driver's
+documents table.
+
+Derives an interleaved text+media corpus (BASELINE.json input_hint
+shape) deterministically from ``{sf_dir}/documents.parquet``:
+
+  url        = http://{source}.example/d/{doc_id}
+  title span = "Doc {doc_id}"            (offset 0)
+  text span  = the document text          (offset 1)
+  media span = link to the next doc of the same host, wrapping
+               (offset 2) — gives every host an intra-host chain so
+               the frontier actually grows round over round
+
+then runs the real CrawlEngine for a few rounds and returns the
+postings table.  This exercises every operator family in SURVEY.md §2
+in one DAG: admission (B1-B5), scheduling (C1-C4), fetch join (A4),
+parse (D1-D6), postings agg (E1-E6), status merges (F1-F4), snapshot
+commit (F5).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import CrawlConfig
+from .engine import CrawlEngine
+from .state.store import SnapshotStore
+
+
+def derive_corpus(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(F.lit("http://"), F.col("source"), F.lit(".example/d/"),
+                   F.col("doc_id"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    wrap = Window.partitionBy("source")
+
+    def lead_url(k: int):
+        # k-th next doc of the same host, wrapping to the host's first
+        return F.coalesce(F.lead(url, k).over(w), F.first(url).over(wrap))
+
+    span = lambda kind, text, ref, off: F.struct(
+        F.lit(kind).alias("kind"),
+        (text if text is not None else F.lit(None).cast("string")).alias("text"),
+        (ref if ref is not None else F.lit(None).cast("string")).alias("media_ref"),
+        F.lit(off).cast("int").alias("offset"),
+    )
+    # out-degree 3 (next, next+3, next+9 of the same host) so the
+    # frontier grows geometrically until the corpus is exhausted —
+    # without it a crawl bench only ever measures seed-chain latency
+    out = d.select(
+        url.alias("doc_id"),
+        F.array(
+            span("title", F.concat(F.lit("Doc "), F.col("doc_id")), None, 0),
+            span("text", F.col("text"), None, 1),
+            span("media", None, lead_url(1), 2),
+            span("media", None, lead_url(3), 3),
+            span("media", None, lead_url(9), 4),
+        ).alias("spans"),
+    )
+    out.write.mode("overwrite").parquet(out_path)
+
+
+def seed_urls(spark: SparkSession, sf_dir: str, n_hosts: int = 5) -> list[str]:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    firsts = (
+        d.groupBy("source").agg(F.min("doc_id").alias("doc_id"))
+        .orderBy("source").limit(n_hosts)
+    )
+    return [
+        f"http://{r['source']}.example/d/{r['doc_id']}"
+        for r in firsts.collect()
+    ]
+
+
+def run_flagship(
+    spark: SparkSession,
+    sf_dir: str,
+    n_rounds: int = 3,
+    budget: int = 64,
+    host_quota: int = 16,
+    workdir: str | None = None,
+    use_bloom: bool = True,
+) -> tuple[CrawlEngine, DataFrame]:
+    """Returns (engine, postings DataFrame)."""
+    workdir = workdir or tempfile.mkdtemp(prefix="spider_flagship_")
+    corpus_path = os.path.join(workdir, "documents.parquet")
+    derive_corpus(spark, sf_dir, corpus_path)
+    cfg = CrawlConfig(
+        max_parallel_working=budget,
+        max_parallel_non_working=budget,
+        default_host_quota=host_quota,
+    )
+    eng = CrawlEngine(
+        spark, SnapshotStore(os.path.join(workdir, "state")),
+        corpus_path, cfg, use_bloom=use_bloom,
+    )
+    eng.bootstrap(seed_urls(spark, sf_dir))
+    eng.run(n_rounds)
+    return eng, eng.postings()

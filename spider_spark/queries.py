@@ -1,0 +1,683 @@
+"""Driver-contract queries: one entry per operator family from
+SURVEY.md §2, each with a DuckDB-oracle ANSI-SQL twin where the
+semantics are SQL-expressible (the driver's correctness gate).
+
+Conventions shared by every (Spark, SQL) pair:
+  * identical column names via explicit aliases on both sides
+  * floats rounded to 6 decimals on both sides (absorbs sum-order fp
+    noise; never changes a correct result)
+  * aggregates cast to BIGINT/DOUBLE explicitly (DuckDB SUM(int) is
+    HUGEINT, Spark is LONG)
+  * deterministic ORDER-insensitive output (driver sorts + hashes)
+
+The crawl-shaped queries derive a frontier view from the ``documents``
+table with arithmetic both engines express identically (status from
+doc_id%5 etc.) — the real engine's frontier semantics are covered by
+the oracle-parity tests; these exercise the same OPERATORS (windows,
+anti-joins, top-K, token aggregation) on the driver's fixed tables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .analytics import dedup, similarity, text
+from .config import CrawlConfig
+from .functions.udfs import keep_token, tokenize_udf
+
+# ---------------------------------------------------------------------------
+# shared derivations
+
+_STATUS = "CASE doc_id % 5 WHEN 0 THEN 'QUEUED' WHEN 1 THEN 'INDEXED' WHEN 2 THEN 'FAILED' WHEN 3 THEN 'SUCCEEDED' ELSE 'NOT_PUSHED' END"
+_TOKEN_PATTERN = r"[a-z0-9']+"
+_TOKEN_PATTERN_SQL = "[a-z0-9'']+"
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _frontier_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frontier derived from documents (see module doc)."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit("http://"), F.col("source"), F.lit(".example/d/"),
+                 F.col("doc_id")).alias("url"),
+        F.col("source").alias("host"),
+        F.expr(_STATUS).alias("status"),
+        (F.col("doc_id") % 3).cast("int").alias("priority"),
+        F.col("n_chars").alias("last_change"),
+    )
+
+
+_FRONTIER_SQL = f"""
+    SELECT doc_id AS id,
+           'http://' || source || '.example/d/' || doc_id AS url,
+           source AS host,
+           {_STATUS} AS status,
+           CAST(doc_id % 3 AS INTEGER) AS priority,
+           n_chars AS last_change
+    FROM documents
+"""
+
+# token explosion shared by postings-family queries: lowercase text →
+# [a-z0-9']+ tokens → drop English stop words and tokens < 3 chars
+# (the latin branch of SearchUtil.isStopWord; CJK branches are covered
+# by the engine parity tests — this corpus is latin-only)
+_STOPS_SQL = "('the','and','that','have','for')"
+
+
+# ---------------------------------------------------------------------------
+# A. scans / counts / lookups
+
+def q_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/E7: groupBy-status counts (db/PerstRoot.java:121-129)."""
+    return (
+        _frontier_view(spark, sf_dir)
+        .groupBy("status")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+SQL_STATUS_COUNTS = f"""
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ({_FRONTIER_SQL}) GROUP BY status
+"""
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: unique-index point probe (db/PerstRoot.java:46-77)."""
+    f = _frontier_view(spark, sf_dir)
+    return f.where(f.url == f.selectExpr("min(url) AS u").first()["u"]).select(
+        "id", "url", "host", "status"
+    )
+
+
+SQL_POINT_LOOKUP = f"""
+    WITH f AS ({_FRONTIER_SQL})
+    SELECT id, url, host, status FROM f
+    WHERE url = (SELECT min(url) FROM f)
+"""
+
+
+def q_top_n_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/C7: UI top-N per status in lastChange order
+    (web/MainPage.java:197-211; maxShownURIs=50 db/Config.java:41)."""
+    f = _frontier_view(spark, sf_dir)
+    w = Window.partitionBy("status").orderBy("last_change", "id")
+    return (
+        f.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("status", "rn", "id", "url", "last_change")
+    )
+
+
+SQL_TOP_N_PER_STATUS = f"""
+    WITH f AS ({_FRONTIER_SQL}),
+    r AS (SELECT status, ROW_NUMBER() OVER
+            (PARTITION BY status ORDER BY last_change, id) AS rn,
+          id, url, last_change FROM f)
+    SELECT status, rn, id, url, last_change FROM r WHERE rn <= 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# B. admission predicates
+
+def q_badlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: extension badlist suffix filter (Spider.java:156-162).
+    Synthesizes candidate urls with a deterministic extension mix."""
+    f = _frontier_view(spark, sf_dir)
+    ext = (
+        F.when(F.col("id") % 7 == 0, F.lit(".png"))
+        .when(F.col("id") % 7 == 1, F.lit(".zip"))
+        .when(F.col("id") % 7 == 2, F.lit(".html"))
+        .otherwise(F.lit(""))
+    )
+    cand = f.select("id", F.concat("url", ext).alias("raw_url"))
+    import re as _re
+    pat = "(" + "|".join(_re.escape(e) for e in CrawlConfig().badlisted_extensions) + ")$"
+    return cand.filter(~F.lower("raw_url").rlike(pat))
+
+
+SQL_BADLIST_FILTER = f"""
+    WITH f AS ({_FRONTIER_SQL}),
+    cand AS (SELECT id, url ||
+        CASE id % 7 WHEN 0 THEN '.png' WHEN 1 THEN '.zip'
+                    WHEN 2 THEN '.html' ELSE '' END AS raw_url FROM f)
+    SELECT id, raw_url FROM cand
+    WHERE NOT regexp_matches(lower(raw_url),
+        '(\\.png|\\.zip)$')
+"""
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: URL-seen dedup as exact anti-join (db/PerstRoot.java:46-67).
+    Candidates = all urls; seen = even ids; result = unseen urls."""
+    f = _frontier_view(spark, sf_dir)
+    seen = f.filter(F.col("id") % 2 == 0).select("url")
+    return f.join(seen, "url", "left_anti").select("id", "url")
+
+
+SQL_SEEN_ANTIJOIN = f"""
+    WITH f AS ({_FRONTIER_SQL})
+    SELECT id, url FROM f
+    WHERE url NOT IN (SELECT url FROM f WHERE id % 2 = 0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# C. scheduling: priority top-K
+
+def q_fifo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: global FIFO/priority top-K scan (Spider.java:222-239;
+    order = priority, last_change, id per SURVEY §7.3)."""
+    f = _frontier_view(spark, sf_dir)
+    return (
+        f.filter(F.col("status") == "QUEUED")
+        .orderBy("priority", "last_change", "id")
+        .limit(50)
+        .select("id", "url", "priority", "last_change")
+    )
+
+
+SQL_FIFO_TOPK = f"""
+    WITH f AS ({_FRONTIER_SQL})
+    SELECT id, url, priority, last_change FROM f
+    WHERE status = 'QUEUED'
+    ORDER BY priority, last_change, id LIMIT 50
+"""
+
+
+def q_topk_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 graft: per-host politeness top-K window ranking."""
+    f = _frontier_view(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy("priority", "last_change", "id")
+    return (
+        f.filter(F.col("status") == "QUEUED")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("host", "rn", "id", "url")
+    )
+
+
+SQL_TOPK_PER_HOST = f"""
+    WITH f AS ({_FRONTIER_SQL}),
+    r AS (SELECT host, ROW_NUMBER() OVER
+            (PARTITION BY host ORDER BY priority, last_change, id) AS rn,
+          id, url FROM f WHERE status = 'QUEUED')
+    SELECT host, rn, id, url FROM r WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# D/E. tokenization + postings aggregation (latin profile)
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_PATTERN), 0)
+        ).alias("term"),
+    )
+    return toks.filter(
+        (F.length("term") >= 3) & ~F.col("term").isin("the", "and", "that", "have", "for")
+    )
+
+
+_TOKENS_SQL = f"""
+    SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_PATTERN_SQL}')) AS term
+        FROM documents)
+    WHERE length(term) >= 3 AND term NOT IN {_STOPS_SQL}
+"""
+
+
+def q_term_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E7 analog: per-term document frequency + occurrence counts."""
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count("*").cast("long").alias("occurrences"),
+        )
+    )
+
+
+SQL_TERM_DOC_STATS = f"""
+    SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS occurrences
+    FROM ({_TOKENS_SQL}) GROUP BY term
+"""
+
+
+def q_tf_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: TF relevance = occurrences / totalWords per (doc, term)
+    (Spider.java:714), over the latin token profile."""
+    toks = _tokens(spark, sf_dir)
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("total"))
+    per_term = toks.groupBy("doc_id", "term").agg(F.count("*").alias("occ"))
+    return per_term.join(per_doc, "doc_id").select(
+        "doc_id", "term",
+        F.round(F.col("occ").cast("double") / F.col("total").cast("double"), 6)
+        .alias("rel"),
+    )
+
+
+SQL_TF_RELEVANCE = f"""
+    WITH t AS ({_TOKENS_SQL}),
+    per_doc AS (SELECT doc_id, COUNT(*) AS total FROM t GROUP BY doc_id),
+    per_term AS (SELECT doc_id, term, COUNT(*) AS occ FROM t GROUP BY doc_id, term)
+    SELECT p.doc_id, p.term,
+           ROUND(CAST(p.occ AS DOUBLE) / CAST(d.total AS DOUBLE), 6) AS rel
+    FROM per_term p JOIN per_doc d ON p.doc_id = d.doc_id
+"""
+
+
+def q_tokenizer_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: the exact SearchTokenizer automaton over the documents table
+    (Arrow UDF).  Not ANSI-SQL-expressible (CJK automaton) → rows-only
+    driver check; automaton parity is pinned by golden tests."""
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokenize_udf(F.col("text"))).alias("pos", "term")
+    )
+    return toks.filter(keep_token(F.col("term"))).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("indexable_tokens"),
+        F.countDistinct("term").cast("long").alias("distinct_terms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline: dedup
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by normalized-text hash."""
+    d = _load(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d).select(
+        "content_hash", "dup_count", F.to_json("doc_ids").alias("doc_ids_json")
+    )
+
+
+SQL_DEDUP_EXACT = """
+    SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,
+           CAST(COUNT(*) AS BIGINT) AS dup_count,
+           '[' || array_to_string(list_sort(list(doc_id)), ',') || ']' AS doc_ids_json
+    FROM documents
+    GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only: k-permutation signatures
+    are not ANSI-SQL; exactness is covered by test_analytics golden
+    cases + the SQL-checked n-gram Jaccard verifier below)."""
+    d = _load(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(
+        d, jaccard_threshold=0.5, num_hashes=64, bands=16
+    ).withColumn("est_jaccard", F.round("est_jaccard", 6))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only; banding covered by tests)."""
+    d = _load(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(d, max_hamming=8)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard on consecutive-id candidate pairs."""
+    d = _load(spark, sf_dir, "documents")
+    pairs = (
+        d.select("doc_id")
+        .withColumn("doc_id2", F.col("doc_id") + 1)
+        .join(d.select(F.col("doc_id").alias("doc_id2")), "doc_id2", "semi")
+    )
+    return (
+        dedup.ngram_jaccard_pairs(d, pairs)
+        .withColumn("jaccard", F.round("jaccard", 6))
+    )
+
+
+SQL_NGRAM_JACCARD = """
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 2, 1)),
+               i -> array_to_string(string_split_regex(lower(text), '\\s+')[i:i+2], ' ')
+             )) AS grams
+      FROM documents)
+    SELECT a.doc_id AS doc_id, b.doc_id AS doc_id2,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                 CAST(greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) AS DOUBLE), 6) AS jaccard
+    FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline: similarity search
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 10."""
+    e = _load(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(e, e.filter("vec_id < 10"), k=5)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+SQL_ANN_BRUTEFORCE = """
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank,
+             cos FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           ROUND(CAST(cos AS DOUBLE), 6) AS cosine
+    FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (rows-only: approximate by design; recall vs
+    the brute-force baseline is asserted in tests)."""
+    e = _load(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    out = similarity.lsh_topk(e, e.filter("vec_id < 10"), dim=dim, k=5, n_bits=10)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, blocked by label (exact within block)."""
+    e = _load(spark, sf_dir, "embeddings")
+    l = e.select("label", F.col("vec_id").alias("doc_id"), F.col("embedding").alias("v1"))
+    r = e.select("label", F.col("vec_id").alias("doc_id2"), F.col("embedding").alias("v2"))
+    cand = l.join(r, "label").filter(F.col("doc_id") < F.col("doc_id2"))
+    return (
+        cand.withColumn("cosine", similarity.cosine_expr(F.col("v1"), F.col("v2")))
+        .filter(F.col("cosine") >= 0.5)
+        .select("doc_id", "doc_id2", F.round(F.col("cosine"), 6).alias("cosine"))
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+    SELECT a.vec_id AS doc_id, b.vec_id AS doc_id2,
+           ROUND(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline: text analysis
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        text.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+_BPE_SQL = text.BPE_TOKEN_PATTERN.replace("'", "''")
+
+SQL_TOKEN_COUNTS = rf"""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS bpe_tokens
+    FROM documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return text.quality_score(d).select(
+        "doc_id",
+        "n_words",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+SQL_QUALITY_SCORES = r"""
+    WITH feats AS (
+      SELECT doc_id,
+        length(text) AS n_chars,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_words,
+        len(regexp_extract_all(text, '[.,;:!?"''()\[\]{}]')) AS n_punct,
+        len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            w -> w IN ('the','and','that','have','for'))) AS n_stop
+      FROM documents),
+    ratios AS (
+      SELECT doc_id, n_words,
+        CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+        CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+        CAST(n_stop AS DOUBLE) / greatest(n_words, 1) AS stopword_ratio
+      FROM feats)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      ROUND(punct_ratio, 6) AS punct_ratio,
+      ROUND(stopword_ratio, 6) AS stopword_ratio,
+      ROUND((least(n_words / 50.0, 1.0)
+           + (1.0 - least(punct_ratio * 5.0, 1.0))
+           + least(stopword_ratio * 4.0, 1.0)
+           + alpha_ratio) / 4.0, 6) AS quality
+    FROM ratios
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID heuristic (rows-only: the n-gram/script kernel is not
+    SQL-expressible)."""
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("pred_lang", text.lang_id_udf(F.col("text")))
+        .groupBy("pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints (rows-only: FNV rolling hash)."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint_udf(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregation + sessionization
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation by event_type (the batch
+    twin of the Structured-Streaming path in streaming/)."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value").cast("double"), 6).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENT_WINDOWS = """
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(value) AS DOUBLE), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum — the standard windowed-session shape."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        e.withColumn("new_sess",
+                     F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("t_start_epoch"),
+        F.unix_timestamp(F.max("ts")).alias("t_end_epoch"),
+    )
+
+
+SQL_EVENT_SESSIONS = """
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS t_start_epoch,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) AS t_end_epoch
+    FROM s GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational breadth (TPC-H-ish shapes over the star schema)
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + hash agg with partial agg."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity").cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice").cast("double"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity").cast("double"), 6).alias("avg_qty"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty,
+           ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 4) AS sum_base_price,
+           ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS sum_disc_price,
+           ROUND(CAST(AVG(l_quantity) AS DOUBLE), 6) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + top-N: revenue per customer (broadcast dim join)."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice").cast("double"), 4).alias("revenue"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    return (
+        rev.join(F.broadcast(c), rev["o_custkey"] == c["c_custkey"])
+        .select(F.col("c_custkey").alias("custkey"), "c_name", "revenue", "n_orders")
+        .orderBy(F.col("revenue").desc(), "custkey")
+        .limit(10)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+    WITH rev AS (
+      SELECT o_custkey, ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey)
+    SELECT c_custkey AS custkey, c_name, revenue, n_orders
+    FROM rev JOIN customer ON o_custkey = c_custkey
+    ORDER BY revenue DESC, custkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "status_counts": q_status_counts,
+        "point_lookup": q_point_lookup,
+        "top_n_per_status": q_top_n_per_status,
+        "badlist_filter": q_badlist_filter,
+        "seen_antijoin": q_seen_antijoin,
+        "fifo_topk": q_fifo_topk,
+        "topk_per_host": q_topk_per_host,
+        "term_doc_stats": q_term_doc_stats,
+        "tf_relevance": q_tf_relevance,
+        "tokenizer_automaton": q_tokenizer_automaton,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "event_windows": q_event_windows,
+        "event_sessions": q_event_sessions,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "status_counts": SQL_STATUS_COUNTS,
+        "point_lookup": SQL_POINT_LOOKUP,
+        "top_n_per_status": SQL_TOP_N_PER_STATUS,
+        "badlist_filter": SQL_BADLIST_FILTER,
+        "seen_antijoin": SQL_SEEN_ANTIJOIN,
+        "fifo_topk": SQL_FIFO_TOPK,
+        "topk_per_host": SQL_TOPK_PER_HOST,
+        "term_doc_stats": SQL_TERM_DOC_STATS,
+        "tf_relevance": SQL_TF_RELEVANCE,
+        # tokenizer_automaton: rows-only (CJK automaton not ANSI SQL)
+        "dedup_exact": SQL_DEDUP_EXACT,
+        # dedup_minhash / dedup_simhash: rows-only (probabilistic signatures)
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "ann_bruteforce": SQL_ANN_BRUTEFORCE,
+        # ann_lsh: rows-only (approximate by design)
+        "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+        "token_counts": SQL_TOKEN_COUNTS,
+        "quality_scores": SQL_QUALITY_SCORES,
+        # lang_id / fingerprints: rows-only (non-SQL kernels)
+        "event_windows": SQL_EVENT_WINDOWS,
+        "event_sessions": SQL_EVENT_SESSIONS,
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "top_customers": SQL_TOP_CUSTOMERS,
+    }
