@@ -1,0 +1,65 @@
+"""Two-parallelism scaling experiment (the sandbox stand-in for the
+north rule's N vs 4N executor criterion): build one bench corpus, run
+the identical crawl at local[N] and local[4N], report throughput at
+both plus scaling efficiency.
+
+Usage: python scripts/run_scaling.py [n_docs] [rounds] [budget]
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spider_spark.session import get_spark
+from spider_spark.sources.bench_corpus import build_bench_corpus
+
+N_SMALL = int(os.environ.get("SPIDER_SCALE_N", "8"))
+N_BIG = 4 * N_SMALL
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    budget = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
+    n_hosts = max(4, int(n_docs ** 0.5) // 4)
+
+    corpus = os.path.join(tempfile.mkdtemp(prefix="scaling_corpus_"),
+                          "documents.parquet")
+    spark = get_spark(app_name="scaling_corpus_build")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_bench_corpus(spark, n_docs, corpus, tokens_per_span=120,
+                       n_hosts=n_hosts)
+    spark.stop()
+
+    results = {}
+    for cores in (N_SMALL, N_BIG):
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "_scaling_worker.py"),
+             str(cores), corpus, str(n_hosts), str(rounds), str(budget),
+             str(n_docs)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(line)
+
+    ups_n, ups_4n = (results[N_SMALL]["urls_per_sec"],
+                     results[N_BIG]["urls_per_sec"])
+    eff = (ups_4n / ups_n) / (N_BIG / N_SMALL)
+    summary = {
+        "n_docs": n_docs, "rounds": rounds, "budget": budget,
+        "N": N_SMALL, "4N": N_BIG,
+        "urls_per_sec_N": ups_n, "urls_per_sec_4N": ups_4n,
+        "speedup": round(ups_4n / ups_n, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

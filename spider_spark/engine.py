@@ -29,12 +29,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import os
+import sys
+import time
+
 from .config import CrawlConfig
 from .functions.filters import BloomFilter
 from .operators import admission, parse, postings, scheduling
 from .state.store import SnapshotStore
 
 SEQ_SHIFT = 20  # last_change = (round << 20) | seq
+
+_TIMING = os.environ.get("SPIDER_TIMING", "") == "1"
+
+
+def _tick(label: str, t0: float) -> float:
+    if _TIMING:
+        t = time.time()
+        print(f"## {label}: {t - t0:.2f}s", file=sys.stderr)
+        return t
+    return t0
 
 
 class CrawlEngine:
@@ -200,6 +214,7 @@ class CrawlEngine:
     # -- one crawl round ---------------------------------------------------
 
     def run_round(self) -> int:
+        _t = time.time()
         cat = self.store.read_catalog()
         rnd = cat["round"] + 1
         next_id = cat["lineage"][-1]["metrics"]["next_id"] if cat["lineage"] else 0
@@ -207,6 +222,7 @@ class CrawlEngine:
         frontier = self.store.read(self.spark, "frontier").cache()
         if self.use_bloom and self.bloom is None:
             self._build_bloom(frontier)
+        _t = _tick("read+bloom", _t)
 
         budget = self.config.max_parallel(rnd % 24)
         queued = frontier.filter(F.col("status") == "QUEUED")
@@ -214,6 +230,7 @@ class CrawlEngine:
             queued, self.hosts, self.config, budget
         ).cache()
         k = selected.count()
+        _t = _tick(f"select k={k}", _t)
 
         if k == 0:
             self.store.commit_round(
@@ -277,6 +294,7 @@ class CrawlEngine:
         )
         new_rows = new_rows.cache()
         n_new = new_rows.count()
+        _t = _tick(f"admission n={n_new}", _t)
 
         frontier_final = updated.unionByName(new_rows)
         crawl_log = selected.select(
@@ -290,7 +308,9 @@ class CrawlEngine:
             metrics={"next_id": next_id + n_new, "fetched": k,
                      "admitted": n_new},
         )
+        _t = _tick("commit", _t)
         self._bloom_add(new_rows, n_new)
+        _t = _tick("bloom_add", _t)
         for df in (frontier, selected, normal, redirects, meta, new_rows):
             df.unpersist()
         return k

@@ -47,6 +47,36 @@ def normalize(text: str) -> str:
     return text.upper().lower()
 
 
+# Per-character class cache — the automaton's hot loop does one dict
+# lookup per char instead of unicodedata + range binary search.  Class
+# codes mirror the reference's branch order (CJK test first,
+# SearchTokenizer.java:50-69): 0 separator, 1 latin letter, 2 digit,
+# 3 CJK, 4 apostrophe (separator with mid-word glue).
+_CLS_SEP, _CLS_LATIN, _CLS_DIGIT, _CLS_CJK, _CLS_APOS = 0, 1, 2, 3, 4
+_char_cls: dict[str, int] = {}
+
+
+def _classify(ch: str) -> int:
+    if _is_letter_or_digit(ch):
+        if is_cjk(ord(ch)):
+            cls = _CLS_CJK
+        elif _is_digit(ch):
+            cls = _CLS_DIGIT
+        else:
+            cls = _CLS_LATIN
+    elif ch in ALLOWED_MID_WORD:
+        cls = _CLS_APOS
+    else:
+        cls = _CLS_SEP
+    _char_cls[ch] = cls
+    return cls
+
+
+# pre-warm ASCII
+for _c in map(chr, range(128)):
+    _classify(_c)
+
+
 def _segment(text: str) -> tuple[list[str], list[int]]:
     """Split normalized text into (segments, modes) per the reference
     automaton (SearchTokenizer.java:42-109)."""
@@ -54,41 +84,51 @@ def _segment(text: str) -> tuple[list[str], list[int]]:
     modes: list[int] = []
     cur_mode = _MODE_UNDEF
     sb: list[str] = []
+    cls_map = _char_cls
+    classify = _classify
+    seg_append = segments.append
+    mode_append = modes.append
+    sb_append = sb.append
 
     def _flush_word() -> None:
         # Words can't end in an apostrophe (SearchTokenizer.java:86-92).
         while sb and sb[-1] in DISCARD_IF_END_WORD:
             sb.pop()
         if sb:
-            segments.append("".join(sb))
-            modes.append(cur_mode)
+            seg_append("".join(sb))
+            mode_append(cur_mode)
 
     for ch in text:
-        if _is_letter_or_digit(ch):
-            cp = ord(ch)
-            if is_cjk(cp):
+        cls = cls_map.get(ch)
+        if cls is None:
+            cls = classify(ch)
+        if cls >= _CLS_APOS:  # apostrophe
+            if sb:
+                sb_append(ch)  # mid-word glue (SearchTokenizer.java:74-81)
+            continue
+        if cls:  # letter or digit
+            if cls == _CLS_CJK:
                 if cur_mode == _MODE_LATIN and sb:
-                    segments.append("".join(sb))
-                    modes.append(cur_mode)
+                    seg_append("".join(sb))
+                    mode_append(cur_mode)
                     sb = []
+                    sb_append = sb.append
                 cur_mode = _MODE_CJK
-            elif not _is_digit(ch):
+            elif cls == _CLS_LATIN:
                 if cur_mode == _MODE_CJK and sb:
-                    segments.append("".join(sb))
-                    modes.append(cur_mode)
+                    seg_append("".join(sb))
+                    mode_append(cur_mode)
                     sb = []
+                    sb_append = sb.append
                 cur_mode = _MODE_LATIN
             # digits glue to the current run without changing mode
-            sb.append(ch)
+            sb_append(ch)
         elif sb:
-            if ch in ALLOWED_MID_WORD:
-                # allow apostrophes mid-word (SearchTokenizer.java:74-81)
-                sb.append(ch)
-                continue
             if cur_mode != _MODE_UNDEF or len(sb) >= KEEP_NON_LETTER_MIN_CHARS:
                 _flush_word()
             cur_mode = _MODE_UNDEF
             sb = []
+            sb_append = sb.append
 
     if sb:
         _flush_word()
@@ -98,11 +138,15 @@ def _segment(text: str) -> tuple[list[str], list[int]]:
 def _cjk_emit(seg: str, return_pairs: bool) -> Iterable[str]:
     """CJK run → unigrams (+ bigrams between them when return_pairs),
     skipping embedded non-CJK chars as singles (SearchTokenizer.java:175-194)."""
+    cls_map = _char_cls
     last: str | None = None
     for ch in seg:
         if last is not None and return_pairs:
             yield last + ch
-        if is_cjk(ord(ch)):
+        cls = cls_map.get(ch)
+        if cls is None:
+            cls = _classify(ch)
+        if cls == _CLS_CJK:
             yield ch
         last = ch
 
@@ -139,9 +183,11 @@ def is_stop_word(word: str) -> bool:
         return True
     n = len(word)
     if n < 3:
-        if is_cjk(ord(word[0])):
+        c0 = _char_cls.get(word[0])
+        if (c0 if c0 is not None else _classify(word[0])) == _CLS_CJK:
             return False
         if n == 2:
-            return not is_cjk(ord(word[1]))
+            c1 = _char_cls.get(word[1])
+            return (c1 if c1 is not None else _classify(word[1])) != _CLS_CJK
         return True
     return False
