@@ -242,9 +242,19 @@ class CrawlEngine:
             return 0
 
         # A4 fetch: broadcast the ≤K selected urls against the documents
-        # table; parquet min/max stats prune doc_id row groups.
+        # table.  For driver-bounded K we additionally push the url list
+        # into the scan as an IN filter — at 100 TB that turns the fetch
+        # into row-group-pruned point reads (PushedFilters: In(doc_id))
+        # instead of a full scan feeding a broadcast join.
         docs = self.spark.read.parquet(self.documents_path)
         sel = selected.select("id", "url")
+        # cap: a K-literal IN expression is embedded in every derived
+        # plan, so Catalyst analysis cost grows with K — only worth it
+        # for small point-read rounds (at cluster scale the same effect
+        # comes from runtime row-group filtering / DPP instead)
+        if k <= 1024:
+            url_list = [r.url for r in sel.select("url").collect()]
+            docs = docs.filter(F.col("doc_id").isin(url_list))
         matched = docs.join(
             F.broadcast(sel), docs["doc_id"] == sel["url"], "inner"
         ).select(sel["id"], sel["url"], docs["spans"])
@@ -254,7 +264,10 @@ class CrawlEngine:
         redirects = redirects.cache()
 
         spans = parse.exploded_spans(normal)
-        tok = parse.tokenized_spans(spans)
+        # cache the tokenized spans: both the doc metadata aggregate and
+        # the postings build consume them — uncached, the Arrow tokenize
+        # hop (the round's single biggest CPU cost) would run twice
+        tok = parse.tokenized_spans(spans).cache()
         meta = parse.doc_meta(tok, normal).cache()
         idx = parse.indexable_tokens(parse.token_positions(tok))
         postings_delta = postings.build_postings(idx, meta)
@@ -288,9 +301,11 @@ class CrawlEngine:
         )
         updated = self._apply_updates(frontier, updates, None)
 
+        cleanup: list = []
         new_rows, _ = admission.admit(
             self.spark, candidates, frontier, self.config, self.robots,
             rnd=rnd, seq_start=k + 1, next_id=next_id, bloom=self.bloom,
+            cleanup=cleanup,
         )
         new_rows = new_rows.cache()
         n_new = new_rows.count()
@@ -311,7 +326,8 @@ class CrawlEngine:
         _t = _tick("commit", _t)
         self._bloom_add(new_rows, n_new)
         _t = _tick("bloom_add", _t)
-        for df in (frontier, selected, normal, redirects, meta, new_rows):
+        for df in (frontier, selected, normal, redirects, tok, meta,
+                   new_rows, *cleanup):
             df.unpersist()
         return k
 

@@ -125,6 +125,7 @@ def admit(
     seq_start: int,
     next_id: int,
     bloom: BloomFilter | None = None,
+    cleanup: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full admission pipeline.
 
@@ -133,7 +134,13 @@ def admit(
     being force-requeued (Spider.java:185-188)."""
     cand = filter_and_canonicalize(candidates, config, robots)
     ordkey = F.struct("discoverer_id", "span_offset", "ordinal", "raw_url")
-    cand = cand.withColumn("_ord", ordkey)
+    # cache: the admission DAG fans out into several branches
+    # (bloom-split, hit/anti-join, forced, new_urls) — without this the
+    # expensive upstream (link extraction + canonicalize UDFs) would be
+    # recomputed once per branch
+    cand = cand.withColumn("_ord", ordkey).cache()
+    if cleanup is not None:
+        cleanup.append(cand)  # caller unpersists after materializing
 
     if frontier is not None:
         maybe, definitely_new = split_by_bloom(cand, bloom, spark)
