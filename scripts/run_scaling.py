@@ -1,7 +1,7 @@
-"""Two-parallelism scaling experiment (the sandbox stand-in for the
-north rule's N vs 4N executor criterion): build one bench corpus, run
-the identical crawl at local[N] and local[4N], report throughput at
-both plus scaling efficiency.
+"""N vs 4N executor scaling experiment (the north rule's criterion):
+build one bench corpus, run the identical crawl on local-cluster mode
+with N and 4N executor JVMs (4 cores each), report throughput at both
+plus scaling efficiency.
 
 Usage: python scripts/run_scaling.py [n_docs] [rounds] [budget]
 """
@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from spider_spark.session import get_spark
 from spider_spark.sources.bench_corpus import build_bench_corpus
 
-N_SMALL = int(os.environ.get("SPIDER_SCALE_N", "8"))
+N_SMALL = int(os.environ.get("SPIDER_SCALE_N", "2"))  # executors
 N_BIG = 4 * N_SMALL
 
 
@@ -31,7 +31,8 @@ def main() -> None:
                           "documents.parquet")
     spark = get_spark(app_name="scaling_corpus_build")
     spark.sparkContext.setLogLevel("ERROR")
-    build_bench_corpus(spark, n_docs, corpus, tokens_per_span=120,
+    build_bench_corpus(spark, n_docs, corpus,
+                       tokens_per_span=int(os.environ.get("SPIDER_SCALE_TOKENS", "240")),
                        n_hosts=n_hosts)
     spark.stop()
 
@@ -53,7 +54,7 @@ def main() -> None:
     eff = (ups_4n / ups_n) / (N_BIG / N_SMALL)
     summary = {
         "n_docs": n_docs, "rounds": rounds, "budget": budget,
-        "N": N_SMALL, "4N": N_BIG,
+        "N_executors": N_SMALL, "4N_executors": N_BIG,
         "urls_per_sec_N": ups_n, "urls_per_sec_4N": ups_4n,
         "speedup": round(ups_4n / ups_n, 3),
         "scaling_efficiency": round(eff, 3),

@@ -145,10 +145,11 @@ class CrawlEngine:
             [(-1, 0, i, u, comment, force) for i, u in enumerate(urls)],
             admission.CANDIDATE_SCHEMA,
         )
-        # seq continues after the round's existing sequence space
+        # the enqueue commit IS its own round (rnd+1), so its sequence
+        # space starts fresh — no overlap with crawl-round sequences
         new_rows, forced = admission.admit(
             self.spark, cand, frontier, self.config, self.robots,
-            rnd=rnd, seq_start=(1 << SEQ_SHIFT) - 1024, next_id=next_id,
+            rnd=rnd + 1, seq_start=0, next_id=next_id,
         )
         updated = self._apply_updates(frontier, None, forced)
         final = updated.unionByName(new_rows).cache()
@@ -262,13 +263,29 @@ class CrawlEngine:
         normal, redirects = parse.split_redirects(matched)
         normal = normal.cache()
         redirects = redirects.cache()
+        if _TIMING:
+            normal.count()
+            _t = _tick("fetch+cache", _t)
 
-        spans = parse.exploded_spans(normal)
+        # cache the exploded+repartitioned spans: BOTH the link-extraction
+        # path (admission) and the tokenize path (postings) consume them,
+        # and they materialize in different actions — uncached, the
+        # fetch join + explode + repartition shuffle would run twice
+        spans = parse.exploded_spans(normal).cache()
         # cache the tokenized spans: both the doc metadata aggregate and
         # the postings build consume them — uncached, the Arrow tokenize
         # hop (the round's single biggest CPU cost) would run twice
         tok = parse.tokenized_spans(spans).cache()
         meta = parse.doc_meta(tok, normal).cache()
+        if _TIMING:
+            tok.count()
+            _t = _tick("tokenize+cache", _t)
+        # materialize the parse caches before the (concurrent) commit
+        # writes — two writer threads racing on an unmaterialized cache
+        # would each compute the tokenize hop
+        meta.count()
+        if _TIMING:
+            _t = _tick("meta(tokenize)", _t)
         idx = parse.indexable_tokens(parse.token_positions(tok))
         postings_delta = postings.build_postings(idx, meta)
         links = parse.outlinks(spans)
@@ -326,7 +343,7 @@ class CrawlEngine:
         _t = _tick("commit", _t)
         self._bloom_add(new_rows, n_new)
         _t = _tick("bloom_add", _t)
-        for df in (frontier, selected, normal, redirects, tok, meta,
+        for df in (frontier, selected, normal, redirects, spans, tok, meta,
                    new_rows, *cleanup):
             df.unpersist()
         return k

@@ -47,7 +47,13 @@ def split_redirects(matched: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def exploded_spans(docs: DataFrame) -> DataFrame:
-    """One row per span, offset order preserved via the offset column."""
+    """One row per span, offset order preserved via the offset column.
+
+    Repartitioned by doc id: the fetch-join output inherits the
+    documents-scan partitioning (often just a handful of partitions),
+    which would cap the parallelism of every downstream Arrow UDF
+    (tokenize, URL extraction).  The position window partitions by id
+    anyway, so this shuffle replaces that one rather than adding one."""
     return docs.select(
         "id", "url", F.explode("spans").alias("s")
     ).select(
@@ -56,7 +62,7 @@ def exploded_spans(docs: DataFrame) -> DataFrame:
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
-    )
+    ).repartition("id")
 
 
 def tokenized_spans(spans: DataFrame) -> DataFrame:

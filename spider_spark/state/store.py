@@ -96,16 +96,33 @@ class SnapshotStore:
         new_tables = dict(cat["tables"])
         new_appends = {k: list(v) for k, v in cat["appends"].items()}
 
+        # the per-table writes are independent Spark jobs — run them
+        # concurrently so their stages overlap (Spark's scheduler is
+        # thread-safe; on a cluster this fills otherwise-idle executors
+        # while e.g. the postings shuffle's tail finishes)
+        jobs: list[tuple[str, str, DataFrame, bool]] = []
         for table, df in rewrites.items():
-            rel = f"{table}/snap-{rnd:06d}"
-            df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
-            new_tables[table] = rel
+            jobs.append((table, f"{table}/snap-{rnd:06d}", df, True))
         for table, df in appends.items():
-            if df is None:
-                continue
-            rel = f"{table}/seg-{rnd:06d}"
+            if df is not None:
+                jobs.append((table, f"{table}/seg-{rnd:06d}", df, False))
+
+        def _write(job):
+            _, rel, df, _ = job
             df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
-            new_appends.setdefault(table, []).append(rel)
+
+        if len(jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                list(pool.map(_write, jobs))
+        else:
+            for job in jobs:
+                _write(job)
+        for table, rel, _, is_rewrite in jobs:
+            if is_rewrite:
+                new_tables[table] = rel
+            else:
+                new_appends.setdefault(table, []).append(rel)
 
         lineage = list(cat.get("lineage", []))
         lineage.append({
