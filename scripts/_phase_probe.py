@@ -7,6 +7,7 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ["SPIDER_TIMING"] = "1"
 
@@ -22,7 +23,12 @@ def main():
         int(sys.argv[1]), sys.argv[2], int(sys.argv[3]),
         int(sys.argv[4]), int(sys.argv[5]),
     )
-    spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores)
+    if os.environ.get("SPIDER_PROBE_MODE") == "cluster":
+        from _scaling_worker import cluster_session
+        n_exec = cores // 4
+        spark = cluster_session(n_exec)
+    else:
+        spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = CrawlConfig(max_parallel_working=budget,
                       max_parallel_non_working=budget,

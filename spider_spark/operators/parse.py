@@ -89,13 +89,21 @@ def tokenized_spans(spans: DataFrame) -> DataFrame:
         .orderBy("offset")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return ts.withColumn(
+    ts = ts.withColumn(
         "pos_base",
         F.lit(1)
         + F.coalesce(
             F.sum(F.when(F.col("is_title"), 0).otherwise(F.col("n_tok"))).over(w_prior),
             F.lit(0),
         ),
+    )
+    # project away the raw text (and other span columns) — this result
+    # is cached and fans out to heavy consumers; keeping the source text
+    # alongside the token arrays would double the cached string volume.
+    # Retain title text only on valid title spans (doc_meta needs it).
+    return ts.select(
+        "id", "url", "offset", "is_title", "tokens", "n_tok", "pos_base",
+        F.when(F.col("is_title"), F.col("text")).alias("title_text"),
     )
 
 
@@ -105,7 +113,7 @@ def doc_meta(tok_spans: DataFrame, docs: DataFrame) -> DataFrame:
     agg = tok_spans.groupBy("id", "url").agg(
         F.sum("n_tok").alias("total_words"),
         F.max_by(
-            F.when(F.col("is_title"), F.col("text")),
+            "title_text",
             F.when(F.col("is_title"), F.col("offset")),
         ).alias("title"),
     )
@@ -120,7 +128,11 @@ def token_positions(tok_spans: DataFrame) -> DataFrame:
     """posexplode → one row per token occurrence with its position
     (stop words still occupy positions; they are filtered AFTER)."""
     ex = tok_spans.select(
-        "id", "url", "is_title", "pos_base",
+        # url intentionally dropped: the postings aggregate keys on id
+        # and re-attaches url/title from the (small) doc_meta join —
+        # carrying a ~40-byte url string on every token row would
+        # multiply the aggregation's memory/shuffle volume
+        "id", "is_title", "pos_base",
         F.posexplode("tokens").alias("i", "term"),
     )
     return ex.withColumn(

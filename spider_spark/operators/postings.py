@@ -25,15 +25,17 @@ POSTINGS_COLUMNS = ["term", "doc_id", "rel", "title", "positions"]
 
 
 def build_postings(indexable: DataFrame, meta: DataFrame) -> DataFrame:
-    """indexable: (id, url, term, position); meta: (id, url, total_words,
+    """indexable: (id, term, position); meta: (id, url, total_words,
     title).  Returns the round's postings delta."""
-    grouped = indexable.groupBy("id", "url", "term").agg(
+    grouped = indexable.groupBy("id", "term").agg(
         F.array_sort(F.collect_set("position")).alias("positions")
     )
-    # meta is per-doc (≤ K rows/round) → broadcast, no shuffle on the
-    # postings side beyond the groupBy itself.
+    # meta is per-doc (≤ K rows/round) → broadcast; url/title/totals are
+    # re-attached here instead of riding every token row through the agg
     return (
-        grouped.join(F.broadcast(meta.select("id", "total_words", "title")), "id")
+        grouped.join(
+            F.broadcast(meta.select("id", "url", "total_words", "title")), "id"
+        )
         .select(
             "term",
             F.col("url").alias("doc_id"),

@@ -109,9 +109,13 @@ class SnapshotStore:
 
         def _write(job):
             _, rel, df, _ = job
+            t0 = time.time()
             df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+            if os.environ.get("SPIDER_TIMING", "") == "1":
+                import sys
+                print(f"## write {rel}: {time.time()-t0:.2f}s", file=sys.stderr)
 
-        if len(jobs) > 1:
+        if len(jobs) > 1 and os.environ.get("SPIDER_SERIAL_COMMIT", "") != "1":
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
                 list(pool.map(_write, jobs))
