@@ -22,7 +22,7 @@ from spider_spark.engine import CrawlEngine
 from spider_spark.sources.bench_corpus import bench_seed_urls
 from spider_spark.state.store import SnapshotStore
 
-CORES_PER_EXECUTOR = 4
+CORES_PER_EXECUTOR = int(os.environ.get('SPIDER_CORES_PER_EXECUTOR', '4'))
 EXECUTOR_MEM_MB = 10240
 
 
