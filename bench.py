@@ -42,6 +42,8 @@ HEADLINE = [
     "event_sessions",
     "pricing_summary",
     "top_customers",
+    "mime_gate",
+    "media_features",
 ]
 
 CRAWL_ROUNDS = int(os.environ.get("SPIDER_BENCH_ROUNDS", "4"))
@@ -70,8 +72,7 @@ def main() -> None:
             host_quota=max(4, CRAWL_BUDGET // 8), workdir=workdir,
         )
         crawl_secs = time.time() - t0
-        urls = sum(e["metrics"]["fetched"]
-                   for e in eng.store.read_catalog()["lineage"])
+        urls = eng.store.read_catalog()["totals"].get("fetched", 0)
         n_postings = postings.count()
         times["crawl"] = round(crawl_secs, 3)
         crawl = {

@@ -1,10 +1,21 @@
-"""Worker: run the crawl on a prebuilt bench corpus at a given cluster
-size; print one JSON line.  Invoked in a fresh process per size.
+"""Worker: run the crawl on a prebuilt bench corpus at a given
+parallelism; print one JSON line.  Invoked in a fresh process per size.
 
-Uses Spark's local-cluster mode — real separate executor JVMs with
-their own block managers and Python worker pools — so the N vs 4N
-comparison measures the engine's scaling, not single-JVM lock/GC
-contention (which a real cluster doesn't share).
+Two modes (SPIDER_SCALE_MODE):
+
+  local   — ``local[N]`` threads in ONE JVM.  The sandbox-sanctioned
+            N-vs-4N proxy: a single host cannot host 4 non-interfering
+            executor JVMs (each sizes GC/JIT/netty for all cores, and
+            every shuffle crosses loopback TCP), so scaling is
+            evidenced by running the same job at two parallelism
+            levels on the same input — the executor-thread analog of
+            adding cluster nodes, minus the co-location artifacts.
+  cluster — ``local-cluster[N,4,...]`` real executor JVMs (the round-1
+            harness; kept for the cross-JVM comparison).
+
+Identical input, identical shuffle partitioning (sized for the LARGER
+level so both runs execute the same physical plans), one warm-up round
+excluded on both sides.
 """
 
 import json
@@ -24,11 +35,35 @@ from spider_spark.state.store import SnapshotStore
 
 CORES_PER_EXECUTOR = int(os.environ.get('SPIDER_CORES_PER_EXECUTOR', '4'))
 EXECUTOR_MEM_MB = 10240
+MODE = os.environ.get("SPIDER_SCALE_MODE", "local")
+# fixed across both levels so both run the same physical plans
+SHUFFLE_PARTITIONS = int(os.environ.get("SPIDER_SCALE_SHUFFLE", "32"))
+
+
+def _common(builder):
+    return (
+        builder
+        .config("spark.sql.shuffle.partitions", str(SHUFFLE_PARTITIONS))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+    )
+
+
+def local_session(n_cores: int) -> SparkSession:
+    return _common(
+        SparkSession.builder
+        .master(f"local[{n_cores}]")
+        .appName(f"scaling_local_{n_cores}")
+    ).getOrCreate()
 
 
 def cluster_session(n_executors: int) -> SparkSession:
-    total_cores = n_executors * CORES_PER_EXECUTOR
-    return (
+    return _common(
         SparkSession.builder
         .master(f"local-cluster[{n_executors},{CORES_PER_EXECUTOR},{EXECUTOR_MEM_MB}]")
         .appName(f"scaling_{n_executors}x{CORES_PER_EXECUTOR}")
@@ -45,33 +80,30 @@ def cluster_session(n_executors: int) -> SparkSession:
                 f"-XX:ParallelGCThreads={CORES_PER_EXECUTOR} "
                 f"-XX:ConcGCThreads=2 -XX:CICompilerCount=2 "
                 f"-XX:ActiveProcessorCount={CORES_PER_EXECUTOR}")
-        .config("spark.sql.shuffle.partitions", str(total_cores))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    ).getOrCreate()
 
 
 def main() -> None:
-    n_executors = int(sys.argv[1])
+    size = int(sys.argv[1])  # cores (local mode) or executors (cluster)
     corpus_path = sys.argv[2]
     n_hosts = int(sys.argv[3])
     rounds = int(sys.argv[4])
     budget = int(sys.argv[5])
     n_docs = int(sys.argv[6])
 
-    spark = cluster_session(n_executors)
+    if MODE == "local":
+        spark = local_session(size)
+        cores = size
+    else:
+        spark = cluster_session(size)
+        cores = size * CORES_PER_EXECUTOR
     spark.sparkContext.setLogLevel("ERROR")
     cfg = CrawlConfig(
         max_parallel_working=budget,
         max_parallel_non_working=budget,
         default_host_quota=max(8, budget // max(4, n_hosts // 4)),
     )
-    wd = tempfile.mkdtemp(prefix=f"scaling_{n_executors}_")
+    wd = tempfile.mkdtemp(prefix=f"scaling_{MODE}_{size}_")
     eng = CrawlEngine(spark, SnapshotStore(os.path.join(wd, "state")),
                       corpus_path, cfg)
     # dense seed list: every round's selection can fill the budget
@@ -85,8 +117,9 @@ def main() -> None:
     secs = time.time() - t0
     postings = eng.postings().count()
     print(json.dumps({
-        "executors": n_executors,
-        "cores_per_executor": CORES_PER_EXECUTOR,
+        "mode": MODE,
+        "size": size,
+        "cores": cores,
         "rounds": rounds,
         "fetched": fetched,
         "seconds": round(secs, 2),

@@ -1,7 +1,12 @@
-"""N vs 4N executor scaling experiment (the north rule's criterion):
-build one bench corpus, run the identical crawl on local-cluster mode
-with N and 4N executor JVMs (4 cores each), report throughput at both
-plus scaling efficiency.
+"""N vs 4N scaling experiment (the north rule's criterion): build one
+bench corpus, run the identical crawl at two parallelism levels, report
+throughput at both plus scaling efficiency.
+
+Default mode (SPIDER_SCALE_MODE=local) compares ``local[N]`` vs
+``local[4N]`` executor threads in one JVM — the sandbox-sanctioned
+two-cluster-size proxy (see _scaling_worker.py docstring for why
+co-located executor JVMs cannot stand in for real nodes).
+SPIDER_SCALE_MODE=cluster keeps the round-1 local-cluster harness.
 
 Usage: python scripts/run_scaling.py [n_docs] [rounds] [budget]
 """
@@ -17,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from spider_spark.session import get_spark
 from spider_spark.sources.bench_corpus import build_bench_corpus
 
-N_SMALL = int(os.environ.get("SPIDER_SCALE_N", "2"))  # executors
+MODE = os.environ.get("SPIDER_SCALE_MODE", "local")
+N_SMALL = int(os.environ.get("SPIDER_SCALE_N", "8" if MODE == "local" else "2"))
 N_BIG = 4 * N_SMALL
 
 
@@ -37,24 +43,29 @@ def main() -> None:
     spark.stop()
 
     results = {}
-    for cores in (N_SMALL, N_BIG):
+    for size in (N_SMALL, N_BIG):
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__),
                                           "_scaling_worker.py"),
-             str(cores), corpus, str(n_hosts), str(rounds), str(budget),
+             str(size), corpus, str(n_hosts), str(rounds), str(budget),
              str(n_docs)],
             capture_output=True, text=True, timeout=3600,
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
-        print(line)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            print(out.stdout[-2000:], file=sys.stderr)
+            print(out.stderr[-4000:], file=sys.stderr)
+            raise SystemExit(f"worker {size} produced no result")
+        results[size] = json.loads(lines[-1])
+        print(lines[-1])
 
     ups_n, ups_4n = (results[N_SMALL]["urls_per_sec"],
                      results[N_BIG]["urls_per_sec"])
     eff = (ups_4n / ups_n) / (N_BIG / N_SMALL)
     summary = {
+        "mode": MODE,
         "n_docs": n_docs, "rounds": rounds, "budget": budget,
-        "N_executors": N_SMALL, "4N_executors": N_BIG,
+        "N": N_SMALL, "4N": N_BIG,
         "urls_per_sec_N": ups_n, "urls_per_sec_4N": ups_4n,
         "speedup": round(ups_4n / ups_n, 3),
         "scaling_efficiency": round(eff, 3),

@@ -20,6 +20,15 @@ Scale notes: every family is (signature map) → (equi-join on bucket) →
 uniform by construction (hash buckets); candidate verification touches
 only same-bucket pairs.  ``doc_id < doc_id2`` keeps pairs canonical and
 halves the join output.
+
+Pathological buckets: boilerplate-heavy corpora put thousands of docs
+in one LSH bucket, turning the bucket self-join quadratic.  Both LSH
+families therefore CAP bucket size (``bucket_cap``, deterministic keep
+of the lowest doc_ids); docs beyond the cap lose only the candidate
+pairs THAT BUCKET would have generated (other bands/chunks still match
+them).  The cap is never silent — pass ``stats_out`` to get
+(buckets_over_cap, rows_dropped) counted, and the exact-dedup family
+catches fully-identical docs regardless.
 """
 
 from __future__ import annotations
@@ -28,10 +37,40 @@ import zlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
+
+
+def _cap_bucket_size(
+    banded: DataFrame,
+    key_cols: list[str],
+    bucket_cap: int | None,
+    stats_out: dict | None = None,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most bucket_cap rows per LSH bucket (lowest order_col
+    wins — deterministic).  stats_out, when given, is filled with
+    {'buckets_over_cap', 'rows_dropped'} via one small agg job."""
+    if bucket_cap is None:
+        return banded
+    if stats_out is not None:
+        over = (
+            banded.groupBy(*key_cols).count()
+            .filter(F.col("count") > bucket_cap)
+            .agg(F.count("*").alias("b"),
+                 F.sum(F.col("count") - bucket_cap).alias("d"))
+            .first()
+        )
+        stats_out["buckets_over_cap"] = over["b"] or 0
+        stats_out["rows_dropped"] = over["d"] or 0
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    return (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= bucket_cap)
+        .drop("_rn")
+    )
 
 _MERSENNE = (1 << 61) - 1
 
@@ -85,10 +124,13 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
     seed: int = 42,
+    bucket_cap: int | None = 2000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: (doc_id, doc_id2, est_jaccard).
 
-    Signature → band hashes → bucket self-join → signature-level Jaccard
+    Signature → band hashes → bucket self-join (capped at bucket_cap
+    rows per bucket, see module docstring) → signature-level Jaccard
     estimate filter.  rows_per_band = num_hashes // bands."""
     rows = num_hashes // bands
     sig_udf = make_minhash_udf(num_hashes, shingle_n, seed)
@@ -104,6 +146,7 @@ def minhash_near_duplicates(
             )
         ).alias("band", "bucket"),
     )
+    banded = _cap_bucket_size(banded, ["band", "bucket"], bucket_cap, stats_out)
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -185,6 +228,8 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = 42,
+    bucket_cap: int | None = 2000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs (doc_id, doc_id2, hamming).
 
@@ -210,6 +255,7 @@ def simhash_near_duplicates(
             ])
         ).alias("chunk_idx", "chunk"),
     )
+    chunks = _cap_bucket_size(chunks, ["chunk_idx", "chunk"], bucket_cap, stats_out)
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(

@@ -10,6 +10,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+# last_change = (round << SEQ_SHIFT) | seq, computed in 64-bit: 32 bits
+# of per-round sequence leaves 31 bits of round — a round admitting
+# >2^32 URLs would overflow, which the engine guards loudly against.
+SEQ_SHIFT = 32
+
 # Default badlisted extensions, db/Config.java:48-56.
 DEFAULT_BADLISTED_EXTENSIONS: tuple[str, ...] = (
     ".ico", ".bmp", ".png", ".jpg", ".jpeg", ".gif", ".tif", ".tiff",
@@ -44,6 +49,11 @@ class CrawlConfig:
     index_title: str = "Spider index"
     index_owner: str = "Freenet"
     index_owner_email: str = "(nil)"
+    # B6 MIME gate (Spider.java:457-464,590-594): a fetched page whose
+    # declared content type is not whitelisted is marked SUCCEEDED but
+    # NOT parsed/indexed — no postings, no outlinks, no title.  Pages
+    # with no declared type (no 'mime' span) are treated as safe text.
+    safe_mime_types: tuple[str, ...] = ("text/html", "text/plain")
     # newFormatIndexBufferLimit analog: postings rows per snapshot commit.
     # Under batch rounds every round commits its delta, so this only caps
     # an optional mid-round split (db/Config.java:62 ≈ 4 MB).
@@ -53,6 +63,10 @@ class CrawlConfig:
     default_host_quota: int = 8      # per-host max fetches per round (politeness)
     num_salts: int = 4               # sub-partitions for hot-host ranking skew
     frontier_buckets: int = 32       # bucket(url_hash) partition count
+    # id/seq assignment parallelism: >1 → two-pass range-partitioned
+    # sequence (per-partition counts → offsets → partition-local
+    # row_number); 1 → single global window (tiny rounds only)
+    seq_partitions: int = 8
     bloom_bits_per_key: int = 10
     respect_robots: bool = True
 

@@ -15,10 +15,16 @@ Spider.java:206-255,415-541):
                  F1) → frontier union
   8. commit    — one atomic catalog swap for all tables (F5); a crashed
                  round commits nothing and is replayed (NOT_PUSHED→QUEUED
-                 analog, LibraryBuffer.java:97-102)
+                 analog, LibraryBuffer.java:97-102).  The frontier is
+                 BUCKETED by pmod(xxhash64(url), frontier_buckets): only
+                 buckets containing this round's status updates or new
+                 admissions are rewritten — commit cost scales with the
+                 round's update volume, not the frontier size
 
 Every source of nondeterminism is pinned (SURVEY §7.3): ids are
-admission sequence numbers, last_change is (round<<20)|seq, ranking ties
+admission sequence numbers, last_change is (round<<32)|seq in 64-bit
+(config.SEQ_SHIFT; a round overflowing 2^32 sequences fails loudly
+rather than silently carrying into the round field), ranking ties
 break on id, the "hour" is round%24.  Resume = re-open the store and
 continue from the last committed catalog — bit-identical by
 construction, verified by tests/test_resume.py.
@@ -33,12 +39,10 @@ import os
 import sys
 import time
 
-from .config import CrawlConfig
+from .config import SEQ_SHIFT, CrawlConfig
 from .functions.filters import BloomFilter
 from .operators import admission, parse, postings, scheduling
 from .state.store import SnapshotStore
-
-SEQ_SHIFT = 20  # last_change = (round << 20) | seq
 
 _TIMING = os.environ.get("SPIDER_TIMING", "") == "1"
 
@@ -72,40 +76,85 @@ class CrawlEngine:
         self.bloom: BloomFilter | None = None
         self._bloom_count = 0
 
-    # -- bloom maintenance (B4 prefilter) ---------------------------------
+    # -- frontier bucketing (Iceberg partition-overwrite analog) -----------
 
-    def _build_bloom(self, frontier: DataFrame) -> None:
-        """Distributed build: per-partition filters OR-merged on the
-        driver (numpy bitmaps are tiny relative to the key set)."""
+    def _n_buckets(self) -> int:
+        return (self.store.bucket_count("frontier")
+                or self.config.frontier_buckets)
+
+    @staticmethod
+    def _bucket_expr(nb: int):
+        """Bucket id of a row's url — identical to pmod(url_hash, nb)
+        since url_hash := xxhash64(url) at admission."""
+        return F.pmod(F.xxhash64(F.col("url")), F.lit(nb)).cast("int")
+
+    def _touched_buckets(self, *dfs: DataFrame) -> list[int]:
+        """Distinct bucket ids across the given (small, cached) update
+        sets — one tiny job; result is ≤ n_buckets ints."""
+        nb = self._n_buckets()
+        parts = [df.select("url") for df in dfs if df is not None]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        rows = u.select(self._bucket_expr(nb).alias("b")).distinct().collect()
+        return [r.b for r in rows]
+
+    # -- bloom maintenance (B4 prefilter) ---------------------------------
+    #
+    # Fully JVM+numpy path: xxhash64 pairs computed JVM-side, bitmap set
+    # by whole-array numpy inside mapInArrow, partial bitmaps OR-merged
+    # on the driver.  No .rdd, no per-row Python, no URL-string collect
+    # anywhere.  New admissions are folded in INCREMENTALLY with the
+    # same distributed pass — a full rebuild happens only when the
+    # filter outgrows its capacity (sized with 4x headroom so rebuilds
+    # are rare).  At 10^10 keys the OR-merge becomes a treeAggregate and
+    # the filter shards per url_hash bucket; the per-batch kernel is
+    # unchanged.
+
+    def _or_into_bloom(self, df_urls: DataFrame) -> None:
+        """Distributed partial-bitmap build over df_urls, OR-merged into
+        self.bloom (numpy all the way down)."""
+        nwords = len(self.bloom.bits)
+        m, kk = self.bloom.m, self.bloom.k
+
+        hashed = df_urls.select(
+            F.xxhash64("url").alias("h1"),
+            F.xxhash64("url", F.lit(1)).alias("h2"),
+        )
+
+        def build(batches):
+            import numpy as np
+            import pyarrow as pa
+            bf = BloomFilter.__new__(BloomFilter)  # module-level import
+            bf.m, bf.k = m, kk
+            bf.bits = np.zeros(nwords, dtype=np.uint64)
+            for batch in batches:
+                h1 = batch.column("h1").to_numpy(zero_copy_only=False)
+                h2 = batch.column("h2").to_numpy(zero_copy_only=False)
+                bf.add_hash_arrays(h1.view(np.uint64), h2.view(np.uint64))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([bf.bits.tobytes()], type=pa.binary())], ["bits"])
+
+        import numpy as np
+        for r in hashed.mapInArrow(build, "bits binary").collect():
+            self.bloom.bits |= np.frombuffer(r.bits, dtype=np.uint64)
+
+    def _build_bloom(self, frontier: DataFrame, n: int) -> None:
+        """Full (re)build sized for n current keys plus growth headroom.
+        n comes from the catalog's next_id — no count job."""
         if not self.use_bloom:
             return
-        n = frontier.count()
-        cap = max(4096, 4 * n)
-        bpk = self.config.bloom_bits_per_key
-
-        def part_build(rows):
-            bf = BloomFilter(cap, bpk)
-            for r in rows:
-                bf.add(r.url)
-            yield bf.bits
-
-        bits_list = frontier.select("url").rdd.mapPartitions(part_build).collect()
-        bf = BloomFilter(cap, bpk)
-        for bits in bits_list:
-            bf.bits |= bits
-        self.bloom = bf
+        self.bloom = BloomFilter(max(4096, 4 * n), self.config.bloom_bits_per_key)
+        self._or_into_bloom(frontier.select("url"))
         self._bloom_count = n
 
     def _bloom_add(self, new_rows: DataFrame, n_new: int) -> None:
-        if not self.use_bloom or self.bloom is None:
+        if not self.use_bloom or self.bloom is None or n_new == 0:
             return
         if (self._bloom_count + n_new) * self.config.bloom_bits_per_key > self.bloom.m:
-            self.bloom = None  # force rebuild next round
+            self.bloom = None  # outgrown — rebuild (distributed) next round
             return
-        # one collect of just the new url strings (bounded by the round's
-        # admission count); at 10^10 scale this becomes the same
-        # per-partition build + OR-merge as _build_bloom
-        self.bloom.add_many(r.url for r in new_rows.select("url").collect())
+        self._or_into_bloom(new_rows.select("url"))
         self._bloom_count += n_new
 
     # -- bootstrap (A1 seed source) ---------------------------------------
@@ -119,17 +168,23 @@ class CrawlEngine:
             [(-1, 0, i, u, comment, False) for i, u in enumerate(seed_urls)],
             admission.CANDIDATE_SCHEMA,
         )
+        cleanup: list = []
         new_rows, _ = admission.admit(
             self.spark, cand, None, self.config, self.robots,
-            rnd=0, seq_start=0, next_id=0,
+            rnd=0, seq_start=0, next_id=0, cleanup=cleanup,
         )
         new_rows = new_rows.coalesce(1).cache()
         n = new_rows.count()
+        nb = self.config.frontier_buckets
         self.store.commit_round(
-            0, rewrites={"frontier": new_rows}, appends={},
+            0, rewrites={}, appends={},
+            bucket_updates={
+                "frontier": (new_rows.withColumn("bucket", self._bucket_expr(nb)), nb)
+            },
             metrics={"next_id": n, "fetched": 0, "admitted": n},
         )
-        new_rows.unpersist()
+        for df in (new_rows, *cleanup):
+            df.unpersist()
 
     # -- API: manual enqueue (A2) and edition force-requeue (A3/B5) -------
 
@@ -147,19 +202,41 @@ class CrawlEngine:
         )
         # the enqueue commit IS its own round (rnd+1), so its sequence
         # space starts fresh — no overlap with crawl-round sequences
+        cleanup: list = []
         new_rows, forced = admission.admit(
             self.spark, cand, frontier, self.config, self.robots,
-            rnd=rnd + 1, seq_start=0, next_id=next_id,
+            rnd=rnd + 1, seq_start=0, next_id=next_id, cleanup=cleanup,
         )
-        updated = self._apply_updates(frontier, None, forced)
-        final = updated.unionByName(new_rows).cache()
+        nb = self._n_buckets()
+        new_rows = new_rows.cache()
         n_new = new_rows.count()
+        if forced is not None:
+            forced = forced.cache()
+        if self.store.is_bucketed("frontier"):
+            touched = self._touched_buckets(new_rows, forced)
+            base = frontier.filter(self._bucket_expr(nb).isin(touched)) \
+                if touched else frontier.limit(0)
+        else:  # legacy single-dir frontier: migrate by writing all buckets
+            base = frontier
+        updated = self._apply_updates(base, None, forced)
+        final = (
+            updated.unionByName(new_rows)
+            .withColumn("bucket", self._bucket_expr(nb))
+            .repartition(nb, F.col("bucket"))
+            .cache()
+        )
         self.store.commit_round(
-            rnd + 1, rewrites={"frontier": final}, appends={},
+            rnd + 1, rewrites={}, appends={},
+            bucket_updates={"frontier": (final, nb)},
             metrics={"next_id": next_id + n_new, "fetched": 0,
                      "admitted": n_new},
         )
         final.unpersist()
+        new_rows.unpersist()
+        for df in cleanup:
+            df.unpersist()
+        if forced is not None:
+            forced.unpersist()
         self.bloom = None
         return n_new
 
@@ -172,16 +249,18 @@ class CrawlEngine:
         forced: DataFrame | None,
     ) -> DataFrame:
         """MERGE analog: fetched-status updates and force-requeues folded
-        into the frontier (Iceberg MERGE WHEN MATCHED at scale)."""
+        into the frontier (Iceberg MERGE WHEN MATCHED at scale).  Both
+        update sides are ≤K rows — broadcast explicitly rather than
+        relying on AQE to notice."""
         out = frontier
         if updates is not None:
-            u = updates.select(
+            u = F.broadcast(updates.select(
                 "url",
                 F.col("status").alias("_u_status"),
                 F.col("last_change").alias("_u_lc"),
                 F.col("title").alias("_u_title"),
                 F.col("set_title").alias("_u_set_title"),
-            )
+            ))
             out = (
                 out.join(u, "url", "left")
                 .withColumn("status", F.coalesce("_u_status", "status"))
@@ -194,11 +273,11 @@ class CrawlEngine:
                 .drop("_u_status", "_u_lc", "_u_title", "_u_set_title")
             )
         if forced is not None:
-            f = forced.select(
+            f = F.broadcast(forced.select(
                 "url",
                 F.col("comment").alias("_f_comment"),
                 F.col("last_change").alias("_f_lc"),
-            )
+            ))
             out = (
                 out.join(f, "url", "left")
                 .withColumn(
@@ -222,7 +301,8 @@ class CrawlEngine:
 
         frontier = self.store.read(self.spark, "frontier").cache()
         if self.use_bloom and self.bloom is None:
-            self._build_bloom(frontier)
+            # next_id == pages ever created == frontier row count
+            self._build_bloom(frontier, next_id)
         _t = _tick("read+bloom", _t)
 
         budget = self.config.max_parallel(rnd % 24)
@@ -260,9 +340,10 @@ class CrawlEngine:
             F.broadcast(sel), docs["doc_id"] == sel["url"], "inner"
         ).select(sel["id"], sel["url"], docs["spans"])
 
-        normal, redirects = parse.split_redirects(matched)
-        normal = normal.cache()
-        redirects = redirects.cache()
+        # one cached pass over the fetch join; normal / redirect / unsafe
+        # (B6 MIME gate) outcomes are cheap filters over it
+        flagged = parse.flag_docs(matched, self.config.safe_mime_types).cache()
+        normal, redirects, unsafe = parse.split_flagged(flagged)
         if _TIMING:
             normal.count()
             _t = _tick("fetch+cache", _t)
@@ -299,10 +380,12 @@ class CrawlEngine:
         )
         candidates = links.unionByName(redirect_cands)
 
-        # statuses: INDEXED (parsed) / SUCCEEDED (redirect) / FAILED (no doc)
+        # statuses: INDEXED (parsed) / SUCCEEDED (redirect or unsafe
+        # content type, B6: fetched but never indexed) / FAILED (no doc)
         outcome = (
             normal.select("url", F.lit("INDEXED").alias("_out"))
             .unionByName(redirects.select("url", F.lit("SUCCEEDED").alias("_out")))
+            .unionByName(unsafe.select("url", F.lit("SUCCEEDED").alias("_out")))
         )
         updates = (
             selected.join(outcome, "url", "left")
@@ -310,14 +393,12 @@ class CrawlEngine:
             .select(
                 "url",
                 F.coalesce("_out", F.lit("FAILED")).alias("status"),
-                (F.lit(rnd) * F.lit(1 << SEQ_SHIFT) + F.col("rank"))
-                .cast("long").alias("last_change"),
+                (F.lit(rnd).cast("long") * F.lit(1 << SEQ_SHIFT)
+                 + F.col("rank").cast("long")).alias("last_change"),
                 F.col("_m_title").alias("title"),
                 (F.coalesce("_out", F.lit("FAILED")) == "INDEXED").alias("set_title"),
             )
         )
-        updated = self._apply_updates(frontier, updates, None)
-
         cleanup: list = []
         new_rows, _ = admission.admit(
             self.spark, candidates, frontier, self.config, self.robots,
@@ -326,24 +407,49 @@ class CrawlEngine:
         )
         new_rows = new_rows.cache()
         n_new = new_rows.count()
+        if k + 1 + n_new >= (1 << SEQ_SHIFT):
+            raise OverflowError(
+                f"round {rnd} sequence space overflow: {k + 1 + n_new} "
+                f">= 2^{SEQ_SHIFT}; widen config.SEQ_SHIFT"
+            )
         _t = _tick(f"admission n={n_new}", _t)
 
-        frontier_final = updated.unionByName(new_rows)
+        # bucketed frontier MERGE: only buckets holding this round's
+        # status updates (⊆ selected) or new admissions are re-read,
+        # merged, and rewritten — untouched buckets stay immutable
+        nb = self._n_buckets()
+        if self.store.is_bucketed("frontier"):
+            touched = self._touched_buckets(selected, new_rows)
+            base = frontier.filter(self._bucket_expr(nb).isin(touched))
+        else:  # legacy single-dir frontier: migrate by writing all buckets
+            base = frontier
+        updated = self._apply_updates(base, updates, None)
+        # repartition on bucket so each bucket dir gets ~1 file per
+        # write — otherwise the admission side (≈shuffle-partition-many
+        # small files) would accumulate into bucket dirs round over
+        # round.  The frontier-scan side is already bucket-aligned, so
+        # this shuffles only the touched buckets' rows.
+        frontier_final = (
+            updated.unionByName(new_rows)
+            .withColumn("bucket", self._bucket_expr(nb))
+            .repartition(nb, F.col("bucket"))
+        )
         crawl_log = selected.select(
             F.lit(rnd).alias("round"), "rank", "url"
         )
 
         self.store.commit_round(
             rnd,
-            rewrites={"frontier": frontier_final},
+            rewrites={},
             appends={"postings": postings_delta, "crawl_log": crawl_log},
+            bucket_updates={"frontier": (frontier_final, nb)},
             metrics={"next_id": next_id + n_new, "fetched": k,
                      "admitted": n_new},
         )
         _t = _tick("commit", _t)
         self._bloom_add(new_rows, n_new)
         _t = _tick("bloom_add", _t)
-        for df in (frontier, selected, normal, redirects, spans, tok, meta,
+        for df in (frontier, selected, flagged, spans, tok, meta,
                    new_rows, *cleanup):
             df.unpersist()
         return k
@@ -364,3 +470,13 @@ class CrawlEngine:
 
     def crawl_log(self) -> DataFrame | None:
         return self.store.read(self.spark, "crawl_log")
+
+    def status_counts(self) -> DataFrame:
+        """UI status summary (web/MainPage.java:122-131 analog)."""
+        return scheduling.status_counts(self.frontier())
+
+    def top_pages(self, n: int | None = None) -> DataFrame:
+        """UI top-N per status in lastChange order, default
+        max_shown_uris (web/MainPage.java:197-211, db/Config.java:41)."""
+        return scheduling.top_n_per_status(
+            self.frontier(), n or self.config.max_shown_uris)

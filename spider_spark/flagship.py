@@ -39,8 +39,13 @@ def derive_corpus(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     wrap = Window.partitionBy("source")
 
     def lead_url(k: int):
-        # k-th next doc of the same host, wrapping to the host's first
-        return F.coalesce(F.lead(url, k).over(w), F.first(url).over(wrap))
+        # k-th next doc of the same host, wrapping to the host's first;
+        # min_by (not first over an unordered window) so the wrap target
+        # is deterministic across partition layouts
+        return F.coalesce(
+            F.lead(url, k).over(w),
+            F.min_by(url, F.col("doc_id")).over(wrap),
+        )
 
     span = lambda kind, text, ref, off: F.struct(
         F.lit(kind).alias("kind"),

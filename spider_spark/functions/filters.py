@@ -12,9 +12,14 @@ corrupt the seen set (SURVEY.md §7.3).  The filter state is a plain
 numpy array — cheap to broadcast to executors and probe inside an
 Arrow-batched pandas UDF.
 
-Hashing is BLAKE2b-derived and fully deterministic across processes
-(unlike Python's salted ``hash()``), which the bit-identical-resume
-requirement needs.
+Hashing: the ENGINE path computes the two 64-bit hashes JVM-side
+(``xxhash64(url)`` / ``xxhash64(url, 1)``) and feeds them to the fully
+numpy-vectorized ``add_hash_arrays`` / ``contains_hash_arrays`` — no
+per-row Python anywhere in the hot path.  The per-string BLAKE2b API
+remains for standalone use and the cuckoo filter; both are fully
+deterministic across processes (unlike Python's salted ``hash()``),
+which the bit-identical-resume requirement needs.  Build and probe must
+use the SAME API family (the two hash different bit positions).
 """
 
 from __future__ import annotations
@@ -51,6 +56,34 @@ class BloomFilter:
     def add_many(self, keys) -> None:
         for key in keys:
             self.add(key)
+
+    # -- vectorized hash-pair API (the engine hot path) --------------------
+
+    def add_hash_arrays(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        """Set bits for a batch of pre-hashed keys.  h1/h2 are uint64
+        views of JVM-side xxhash64 values; everything here is whole-array
+        numpy — no per-row Python."""
+        h1 = np.ascontiguousarray(h1, dtype=np.uint64)
+        h2 = np.ascontiguousarray(h2, dtype=np.uint64) | np.uint64(1)  # odd stride
+        m = np.uint64(self.m)
+        for i in range(self.k):
+            pos = (h1 + np.uint64(i) * h2) % m
+            np.bitwise_or.at(
+                self.bits, pos >> np.uint64(6),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+
+    def contains_hash_arrays(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Batch probe for pre-hashed keys -> bool array."""
+        h1 = np.ascontiguousarray(h1, dtype=np.uint64)
+        h2 = np.ascontiguousarray(h2, dtype=np.uint64) | np.uint64(1)
+        m = np.uint64(self.m)
+        ok = np.ones(len(h1), dtype=bool)
+        for i in range(self.k):
+            pos = (h1 + np.uint64(i) * h2) % m
+            word = self.bits[pos >> np.uint64(6)]
+            ok &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return ok
 
     def __contains__(self, key: str) -> bool:
         h1, h2 = _hash128(key)

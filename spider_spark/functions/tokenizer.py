@@ -8,13 +8,19 @@ implementation in Python over codepoints (Python strings are codepoint
 sequences, so Java's surrogate-pair handling collapses to single chars).
 
 The hot path is the vectorized wrapper ``tokenize_series`` used from a
-pandas UDF (Arrow-batched); the automaton itself is per-string Python,
-which is the irreducible cost of exact parity — at scale this runs
-inside ``mapInPandas`` executors, parallel across partitions.
+pandas UDF (Arrow-batched).  Pure-ASCII strings — the overwhelming
+share of web text — take a C-level regex fast path that reproduces the
+automaton's ASCII behavior exactly (including the mid-string
+3-char-digit-run drop, the end-of-string flush quirk, apostrophe glue
+and trailing-apostrophe strip); anything non-ASCII falls back to the
+per-codepoint automaton, the irreducible cost of exact CJK parity.
+Equivalence of the two paths on ASCII input is pinned by a property
+test (tests/test_tokenizer.py).
 """
 
 from __future__ import annotations
 
+import re
 import unicodedata
 from typing import Iterable
 
@@ -151,17 +157,70 @@ def _cjk_emit(seg: str, return_pairs: bool) -> Iterable[str]:
         last = ch
 
 
+# --- ASCII fast path ---------------------------------------------------
+#
+# For ASCII input the automaton reduces to: candidate runs are
+# [a-z0-9][a-z0-9']* (leading apostrophes are skipped while sb is
+# empty); a run is EMITTED iff it contains a letter (mode became LATIN)
+# OR its raw length (trailing apostrophes included) is >= 3 OR it is
+# terminated by end-of-string (the final flush has no mode/length
+# check — SearchTokenizer.java:104-108's quirk, pinned by the Java
+# golden tests); the emitted token is the run with trailing
+# apostrophes stripped.  All matching is C-level regex.
+
+_ASCII_RUN = re.compile(r"[a-z0-9][a-z0-9']*")
+_HAS_ALPHA = re.compile(r"[a-z]")
+
+
+def _tokenize_ascii(text: str) -> list[str]:
+    runs = _ASCII_RUN.findall(text)
+    if not runs:
+        return []
+    # the final flush quirk applies iff the last run extends to the end
+    # of the string; maximal matching makes endswith an exact test
+    last_at_end = text.endswith(runs[-1])
+    last_idx = len(runs) - 1
+    out: list[str] = []
+    append = out.append
+    search = _HAS_ALPHA.search
+    for idx, run in enumerate(runs):
+        if "'" in run:  # rare: apostrophe glue + trailing strip
+            if (search(run) or len(run) >= KEEP_NON_LETTER_MIN_CHARS
+                    or (idx == last_idx and last_at_end)):
+                append(run.rstrip("'"))
+        elif (not run.isdigit() or len(run) >= KEEP_NON_LETTER_MIN_CHARS
+                or (idx == last_idx and last_at_end)):
+            append(run)
+    return out
+
+
 def tokenize(text: str, return_pairs: bool = False) -> list[str]:
     """Tokenize one text block.  Production indexing uses
     return_pairs=False for accurate positions (Spider.java:682-684)."""
     if text is None:
         return []
+    if text.isascii():
+        # ASCII never reaches the CJK emitter, so return_pairs is moot
+        return _tokenize_ascii(text.lower())
     segments, modes = _segment(normalize(text))
     out: list[str] = []
     for seg, mode in zip(segments, modes):
         if mode == _MODE_CJK:
             out.extend(_cjk_emit(seg, return_pairs))
         else:  # LATIN and UNDEF both emit the raw segment
+            out.append(seg)
+    return out
+
+
+def _tokenize_automaton(text: str, return_pairs: bool = False) -> list[str]:
+    """Automaton-only path (bypasses the ASCII shortcut) — used by the
+    fast-path equivalence property test."""
+    segments, modes = _segment(normalize(text))
+    out: list[str] = []
+    for seg, mode in zip(segments, modes):
+        if mode == _MODE_CJK:
+            out.extend(_cjk_emit(seg, return_pairs))
+        else:
             out.append(seg)
     return out
 

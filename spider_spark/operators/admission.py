@@ -15,11 +15,13 @@ Deterministic admission order: candidates sorted by
 a URL wins (get-or-create semantics of db/PerstRoot.java:46-67).
 
 Scale notes (10^10 frontier):
-  * the candidate set is per-round (bounded by K·outdegree), so the
-    global row_number for id assignment ranks only the round's NEW urls —
-    at most tens of millions; for larger rounds swap to the two-pass
-    range-partitioned sequence assignment (partition offsets computed
-    from per-partition counts), same total order.
+  * id/seq assignment is a TWO-PASS range-partitioned sequence
+    (config.seq_partitions > 1, the default): repartitionByRange on the
+    admission order key, per-partition (count, new-count) collected (≤P
+    tiny rows), cumulative offsets broadcast back, partition-local
+    row_number — the same total order as a global window with NO
+    single-partition exchange, so a 10^7-candidate round fans across
+    the cluster instead of funnelling through one task.
   * the anti-join against the frontier is the big join: frontier side is
     bucketed by url; the Bloom prefilter short-circuits the (dominant)
     definitely-new candidates so only maybe-seen rows shuffle.
@@ -31,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..config import CrawlConfig
+from ..config import SEQ_SHIFT, CrawlConfig
 from ..functions.filters import BloomFilter
 from ..functions.udfs import (
     badlist_extension_regex,
@@ -103,12 +105,20 @@ def split_by_bloom(candidates: DataFrame, bloom: BloomFilter | None,
 
     bc = spark.sparkContext.broadcast(bloom)
 
-    def _probe(urls):
-        return bc.value.contains_series(urls)
+    def _probe(h1, h2):
+        import numpy as np
+        import pandas as pd
+        ok = bc.value.contains_hash_arrays(
+            h1.to_numpy().view(np.uint64), h2.to_numpy().view(np.uint64))
+        return pd.Series(ok)
 
     bloom_probe = pandas_udf(_probe, BooleanType())
 
-    flagged = candidates.withColumn("_maybe", bloom_probe("url"))
+    # hashes computed JVM-side; the probe itself is whole-array numpy
+    flagged = candidates.withColumn(
+        "_maybe",
+        bloom_probe(F.xxhash64("url"), F.xxhash64("url", F.lit(1))),
+    )
     return (
         flagged.filter(F.col("_maybe")).drop("_maybe"),
         flagged.filter(~F.col("_maybe")).drop("_maybe"),
@@ -170,10 +180,7 @@ def admit(
         )
     )
 
-    # deterministic sequence over (creates ∪ forces) in _ord order.
-    # Single-partition window is safe: it ranks only this round's new
-    # URLs (see module scale note for the >10^7/round variant).
-    w = Window.orderBy("_ord")
+    # deterministic sequence over (creates ∪ forces) in _ord order
     if forced is not None:
         tagged = new_urls.withColumn("_new", F.lit(True)).unionByName(
             forced.select("url", "_ord", "comment")
@@ -185,15 +192,61 @@ def admit(
     else:
         tagged = new_urls.withColumn("_new", F.lit(True))
 
-    tagged = tagged.withColumn("_seq", F.row_number().over(w) - 1 + seq_start)
-    wc = Window.orderBy("_ord")
-    tagged = tagged.withColumn(
-        "_create_rank",
-        F.sum(F.when(F.col("_new"), 1).otherwise(0)).over(
-            wc.rowsBetween(Window.unboundedPreceding, 0)
-        ),
+    is_new_int = F.when(F.col("_new"), 1).otherwise(0)
+    if config.seq_partitions > 1:
+        # two-pass distributed assignment (module scale note): range
+        # boundaries only decide WHERE a row sits; the (offset +
+        # partition-local rank) total is invariant to them, so the ids
+        # are deterministic regardless of sampling.
+        t = (
+            tagged.repartitionByRange(config.seq_partitions, F.col("_ord"))
+            .withColumn("_pid", F.spark_partition_id())
+            .cache()
+        )
+        if cleanup is not None:
+            cleanup.append(t)
+        stats = sorted(
+            t.groupBy("_pid").agg(
+                F.count("*").alias("_n"), F.sum(is_new_int).alias("_nn")
+            ).collect(),
+            key=lambda r: r["_pid"],
+        )
+        offsets, acc, cacc = [], 0, 0
+        for r in stats:
+            offsets.append((r["_pid"], acc, cacc))
+            acc += r["_n"]
+            cacc += r["_nn"]
+        off_df = F.broadcast(spark.createDataFrame(
+            offsets, "_pid int, _off long, _coff long"))
+        wl = Window.partitionBy("_pid").orderBy("_ord")
+        tagged = (
+            t.join(off_df, "_pid")
+            .withColumn(
+                "_seq",
+                F.row_number().over(wl) - 1 + F.col("_off") + F.lit(seq_start))
+            .withColumn(
+                "_create_rank",
+                F.sum(is_new_int).over(
+                    wl.rowsBetween(Window.unboundedPreceding, 0))
+                + F.col("_coff"),
+            )
+        )
+    else:
+        # single global window: tiny rounds / oracle-shaped tests only
+        w = Window.orderBy("_ord")
+        tagged = tagged.withColumn(
+            "_seq", F.row_number().over(w) - 1 + seq_start
+        ).withColumn(
+            "_create_rank",
+            F.sum(is_new_int).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    # 64-bit last_change: cast BEFORE the multiply — int32 literal
+    # arithmetic would silently wrap once rnd >= 2^(32-SEQ_SHIFT)
+    last_change = (
+        F.lit(rnd).cast("long") * F.lit(1 << SEQ_SHIFT)
+        + F.col("_seq").cast("long")
     )
-    last_change = (F.lit(rnd) * F.lit(1 << 20) + F.col("_seq")).cast("long")
 
     new_rows = (
         tagged.filter("_new")

@@ -64,7 +64,8 @@ def _write_java_utf(out: io.BytesIO, s: str) -> None:
 
 
 def encode_entry(term: str, doc_id: str, rel: float, title: str | None,
-                 positions: list[int]) -> bytes:
+                 positions: list[int],
+                 pos_fragments: dict[int, str] | None = None) -> bytes:
     out = io.BytesIO()
     out.write(struct.pack(">q", SERIAL_VERSION_UID - (1 << 64)
                           if SERIAL_VERSION_UID >= (1 << 63) else SERIAL_VERSION_UID))
@@ -78,9 +79,12 @@ def encode_entry(term: str, doc_id: str, rel: float, title: str | None,
     else:
         out.write(struct.pack(">i", ~size))
         _write_java_utf(out, title)
+    frags = pos_fragments or {}
     for p in positions or ():
         out.write(struct.pack(">i", p))
-        _write_java_utf(out, "")
+        # posFragments lookup (TermPageEntry.java:33; Spider leaves the
+        # map empty, so this is "" in practice — but the column decides)
+        _write_java_utf(out, frags.get(p) or "")
     return out.getvalue()
 
 
@@ -112,9 +116,11 @@ def write_binary_postings(postings: DataFrame, out_dir: str,
     def encode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             d = batch.to_pydict()
+            frags = d.get("pos_fragments")
             blobs = [
                 encode_entry(d["term"][i], d["doc_id"][i], d["rel"][i],
-                             d["title"][i], d["positions"][i])
+                             d["title"][i], d["positions"][i],
+                             dict(frags[i]) if frags and frags[i] else None)
                 for i in range(batch.num_rows)
             ]
             yield pa.RecordBatch.from_pydict({"entry": pa.array(blobs, pa.binary())})
@@ -130,6 +136,8 @@ def binary_stream(postings_rows: list, header: bytes = b"") -> bytes:
     out = io.BytesIO()
     out.write(header)
     for r in postings_rows:
+        pf = r["pos_fragments"] if "pos_fragments" in r else None
         out.write(encode_entry(r["term"], r["doc_id"], r["rel"],
-                               r["title"], list(r["positions"])))
+                               r["title"], list(r["positions"]),
+                               dict(pf) if pf else None))
     return out.getvalue()

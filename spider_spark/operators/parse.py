@@ -30,15 +30,50 @@ from ..functions.udfs import extract_urls_udf, keep_token, tokenize_udf
 from ..oracle.simulator import INT32_MIN, REDIRECT_MARK
 
 
-def split_redirects(matched: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(normal_docs, redirects) — redirect convention per
-    sources/corpus.py (the FetchException.newURI analog)."""
+def flag_docs(matched: DataFrame, safe_mime_types: tuple[str, ...]) -> DataFrame:
+    """Single-pass fetch-outcome flags: ``_redir`` (redirect convention
+    per sources/corpus.py, the FetchException.newURI analog) and
+    ``_unsafe`` (B6 MIME gate, Spider.java:457-464: declared type not in
+    the whitelist → SUCCEEDED-but-not-indexed).  One cacheable pass so
+    the fetch join materializes once for all three outcome classes."""
     is_redirect = (
         (F.size("spans") == 1)
         & (F.col("spans")[0]["kind"] == "media")
         & (F.col("spans")[0]["text"] == REDIRECT_MARK)
     )
-    flagged = matched.withColumn("_redir", is_redirect)
+    # try_element_at: docs with no mime span filter to an empty array,
+    # which must read as null (ANSI element_at would throw)
+    mime = F.try_element_at(
+        F.filter("spans", lambda s: s["kind"] == F.lit("mime")), F.lit(1)
+    )["text"]
+    if safe_mime_types:
+        is_unsafe = mime.isNotNull() & ~mime.isin(*safe_mime_types)
+    else:  # no whitelist configured → every declared type is safe
+        is_unsafe = F.lit(False)
+    return (
+        matched.withColumn("_redir", is_redirect)
+        .withColumn("_unsafe", ~is_redirect & is_unsafe)
+    )
+
+
+def split_flagged(
+    flagged: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(normal, redirects, unsafe) views over a flag_docs() result."""
+    normal = flagged.filter(~F.col("_redir") & ~F.col("_unsafe")) \
+        .drop("_redir", "_unsafe")
+    redirects = (
+        flagged.filter("_redir")
+        .select("id", "url", F.col("spans")[0]["media_ref"].alias("target"))
+    )
+    unsafe = flagged.filter("_unsafe").select("id", "url")
+    return normal, redirects, unsafe
+
+
+def split_redirects(matched: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(normal_docs, redirects) — kept for callers that do not gate on
+    content type (treats every type as safe)."""
+    flagged = flag_docs(matched, ()).drop("_unsafe")
     redirects = (
         flagged.filter("_redir")
         .select("id", "url", F.col("spans")[0]["media_ref"].alias("target"))

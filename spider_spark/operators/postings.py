@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-POSTINGS_COLUMNS = ["term", "doc_id", "rel", "title", "positions"]
+POSTINGS_COLUMNS = ["term", "doc_id", "rel", "title", "positions",
+                    "pos_fragments"]
 
 
 def build_postings(indexable: DataFrame, meta: DataFrame) -> DataFrame:
@@ -50,6 +51,12 @@ def build_postings(indexable: DataFrame, meta: DataFrame) -> DataFrame:
             ).cast("float").alias("rel"),
             "title",
             "positions",
+            # posFragments (index/TermPageEntry.java:33): kept for
+            # format fidelity — Spider never fills it (always empty),
+            # but the sink reads it rather than hardcoding emptiness
+            F.map_from_arrays(
+                F.array().cast("array<int>"), F.array().cast("array<string>")
+            ).alias("pos_fragments"),
         )
     )
 

@@ -23,7 +23,7 @@ It re-expresses plugin-Spider's callback loop as deterministic rounds:
 
 Deterministic total order pins (SURVEY.md §7.3):
   * page id        — admission sequence number
-  * last_change    — (round << 20) | seq, seq = crawl rank for fetched
+  * last_change    — (round << SEQ_SHIFT) | seq (64-bit), seq = crawl rank for fetched
                      pages, then K + admission ordinal for admissions
   * admission order— candidates sorted by (discoverer_id, span_offset,
                      link_ordinal, raw_url); seeds use discoverer_id=-1,
@@ -36,7 +36,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..config import CrawlConfig
+from ..config import SEQ_SHIFT, CrawlConfig
 from ..functions.links import extract_urls
 from ..functions.tokenizer import is_stop_word, tokenize
 from ..functions.urlnorm import canonicalize, extract_edition, extract_host, extract_path
@@ -85,6 +85,15 @@ def is_redirect_doc(spans: list[dict]) -> bool:
     )
 
 
+def declared_mime(spans: list[dict]) -> str | None:
+    """Content type declared via a kind='mime' span (corpus convention;
+    the ClientMetadata MIME header analog, Spider.java:457-464)."""
+    for s in spans:
+        if s["kind"] == "mime":
+            return s.get("text")
+    return None
+
+
 def parse_document(spans: list[dict]) -> tuple[str | None, dict[str, set[int]], int, list[tuple[int, int, str]]]:
     """Parse one document's spans (offset order) exactly as the
     reference's PageCallBack (Spider.java:659-716).
@@ -104,6 +113,8 @@ def parse_document(spans: list[dict]) -> tuple[str | None, dict[str, set[int]], 
             if span.get("media_ref"):
                 outlinks.append((off, 0, span["media_ref"]))
             continue
+        if kind not in ("title", "text"):
+            continue  # mime/header spans are never tokenized (B6)
         text = span.get("text")
         if text is None:
             continue
@@ -188,7 +199,7 @@ class OracleCrawler:
                     status="QUEUED",
                     priority=-1 if edition is not None else 0,
                     edition=edition,
-                    last_change=(rnd << 20) | seq,
+                    last_change=(rnd << SEQ_SHIFT) | seq,
                     comment=comment,
                 )
                 self.state.next_id += 1
@@ -196,7 +207,7 @@ class OracleCrawler:
             elif force and page.status != "QUEUED":
                 page.status = "QUEUED"
                 page.comment = comment
-                page.last_change = (rnd << 20) | seq
+                page.last_change = (rnd << SEQ_SHIFT) | seq
                 seq += 1
             seen_this_batch.add(url)
 
@@ -235,6 +246,11 @@ class OracleCrawler:
                 link_candidates.append(
                     (page.id, 0, 0, spans[0]["media_ref"],
                      f"redirect from {page.url}", False))
+            elif (declared_mime(spans) is not None
+                  and declared_mime(spans) not in self.config.safe_mime_types):
+                # B6 MIME gate: unsafe type → SUCCEEDED, not indexed —
+                # no postings, no outlinks, no title (Spider.java:457-464)
+                page.status = "SUCCEEDED"
             else:
                 title, positions, total_words, outlinks = parse_document(spans)
                 page.title = title
@@ -254,7 +270,7 @@ class OracleCrawler:
                     ))
                 # NOT_PUSHED → (postings committed this round) → INDEXED
                 page.status = "INDEXED"
-            page.last_change = (rnd << 20) | rank
+            page.last_change = (rnd << SEQ_SHIFT) | rank
 
         self._admit(link_candidates, rnd=rnd, seq_start=seq + 1)
         return len(selected)

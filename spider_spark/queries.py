@@ -24,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .analytics import dedup, similarity, text
+from .analytics import dedup, multimodal, similarity, text
 from .config import CrawlConfig
 from .functions.udfs import keep_token, tokenize_udf
 
@@ -167,6 +167,43 @@ SQL_SEEN_ANTIJOIN = f"""
     WITH f AS ({_FRONTIER_SQL})
     SELECT id, url FROM f
     WHERE url NOT IN (SELECT url FROM f WHERE id % 2 = 0)
+"""
+
+
+_MIME = ("CASE doc_id % 11 WHEN 0 THEN 'application/octet-stream' "
+         "WHEN 1 THEN 'image/png' WHEN 2 THEN 'text/plain' "
+         "ELSE 'text/html' END")
+
+
+def q_mime_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 MIME gate (Spider.java:457-464,590-594): unsafe declared
+    content types are fetched-but-not-indexed (SUCCEEDED); safe types
+    index.  Derived content type per doc, gated counts per type."""
+    d = _load(spark, sf_dir, "documents")
+    safe = F.col("content_type").isin("text/html", "text/plain")
+    return (
+        d.withColumn("content_type", F.expr(_MIME))
+        .withColumn("status", F.when(safe, "INDEXED").otherwise("SUCCEEDED"))
+        .groupBy("content_type", "status")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(safe, F.col("n_chars")).otherwise(0))
+            .cast("long").alias("indexed_chars"),
+        )
+    )
+
+
+SQL_MIME_GATE = f"""
+    WITH typed AS (
+      SELECT doc_id, n_chars, {_MIME} AS content_type,
+             {_MIME} IN ('text/html', 'text/plain') AS safe
+      FROM documents)
+    SELECT content_type,
+           CASE WHEN safe THEN 'INDEXED' ELSE 'SUCCEEDED' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN safe THEN n_chars ELSE 0 END) AS BIGINT)
+             AS indexed_chars
+    FROM typed GROUP BY content_type, safe
 """
 
 
@@ -496,6 +533,34 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", text.fingerprint_udf(F.col("text")).alias("fingerprint"))
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + featurize over a deterministic synthetic
+    media table (real BMP/WAV/VID0 codecs; rows-only — binary decode is
+    not ANSI SQL; codec exactness is pinned by round-trip tests)."""
+    media = multimodal.make_media_table(spark, n=60)
+    img = multimodal.extract_image_features(media).select(
+        "media_ref", F.lit("image").alias("kind"),
+        F.col("width").cast("long").alias("dim"),
+        F.round(F.aggregate("features", F.lit(0.0),
+                            lambda a, x: a + x), 6).alias("feat_sum"),
+    )
+    aud = multimodal.extract_audio_features(media).select(
+        "media_ref", F.lit("audio").alias("kind"),
+        F.col("n_samples").cast("long").alias("dim"),
+        F.round(F.aggregate("features", F.lit(0.0),
+                            lambda a, x: a + x), 6).alias("feat_sum"),
+    )
+    vid = (
+        multimodal.sample_video_frames(media, every_n=5)
+        .groupBy("media_ref")
+        .agg(F.count("*").cast("long").alias("dim"),
+             F.round(F.sum(F.aggregate("frame_features", F.lit(0.0),
+                                       lambda a, x: a + x)), 6).alias("feat_sum"))
+        .select("media_ref", F.lit("video").alias("kind"), "dim", "feat_sum")
+    )
+    return img.unionByName(aud).unionByName(vid)
+
+
 # ---------------------------------------------------------------------------
 # events: windowed aggregation + sessionization
 
@@ -631,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": q_point_lookup,
         "top_n_per_status": q_top_n_per_status,
         "badlist_filter": q_badlist_filter,
+        "mime_gate": q_mime_gate,
         "seen_antijoin": q_seen_antijoin,
         "fifo_topk": q_fifo_topk,
         "topk_per_host": q_topk_per_host,
@@ -648,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "media_features": q_media_features,
         "event_windows": q_event_windows,
         "event_sessions": q_event_sessions,
         "pricing_summary": q_pricing_summary,
@@ -661,6 +728,7 @@ def oracle_sql() -> dict[str, str]:
         "point_lookup": SQL_POINT_LOOKUP,
         "top_n_per_status": SQL_TOP_N_PER_STATUS,
         "badlist_filter": SQL_BADLIST_FILTER,
+        "mime_gate": SQL_MIME_GATE,
         "seen_antijoin": SQL_SEEN_ANTIJOIN,
         "fifo_topk": SQL_FIFO_TOPK,
         "topk_per_host": SQL_TOPK_PER_HOST,

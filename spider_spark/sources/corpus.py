@@ -21,6 +21,13 @@ span at offset 0 with text == '__redirect__' is a redirect to its
 media_ref; the source page becomes SUCCEEDED and the target is admitted
 with comment "redirect from <src>".
 
+Content-type convention (the ClientMetadata MIME header analog,
+Spider.java:457-464): an optional span kind='mime' at offset -1 whose
+``text`` is the declared content type.  Types outside the whitelist
+(config.safe_mime_types) make the page SUCCEEDED-but-not-indexed; a
+missing mime span means safe text.  Mime spans are never tokenized or
+link-scanned.
+
 Everything derives from (seed, index) via numpy's PCG64 — no wall-clock,
 no global random state.
 """
@@ -141,6 +148,21 @@ def _make_spans(spec: CorpusSpec, i: int) -> list[dict]:
                  "media_ref": random_target(), "offset": 0}]
 
     spans: list[dict] = []
+    # content-type header (separate rng child so existing corpora keep
+    # their token streams): ~5% unsafe type, ~5% explicit safe type,
+    # rest no declared type (implicit safe)
+    rng_m = np.random.default_rng((spec.seed, 3, i))
+    mr = rng_m.random()
+    if mr < 0.05:
+        ctype = str(rng_m.choice(
+            ["application/octet-stream", "image/png", "video/mp4"]))
+        spans.append({"kind": "mime", "text": ctype,
+                      "media_ref": None, "offset": -1})
+    elif mr < 0.10:
+        spans.append({"kind": "mime",
+                      "text": str(rng_m.choice(["text/html", "text/plain"])),
+                      "media_ref": None, "offset": -1})
+
     off = 0
     # title: 80% single-line valid; 5% multi-line (invalid-title branch,
     # Spider.java:672-681 falls through to body handling); 15% none

@@ -12,12 +12,26 @@ Mechanics:
   * every table version is an immutable directory of parquet files
     (``<root>/<table>/snap-<round>-<n>/``)
   * a single JSON catalog file maps table → current version (rewrite
-    tables) or → ordered list of segment dirs (append tables)
+    tables), → ordered list of segment dirs (append tables), or →
+    per-bucket current dirs (bucketed tables: the frontier, hashed by
+    ``pmod(url_hash, n_buckets)``).  A bucketed commit writes ONLY the
+    touched buckets (one ``partitionBy("bucket")`` job) and re-points
+    just those entries — untouched buckets keep their immutable dirs,
+    so commit cost scales with the round's update volume, not the
+    frontier size (the Iceberg MERGE-on-read analog; at 10^10 URLs this
+    is the difference between rewriting ~GBs and rewriting ~TBs per
+    round)
   * commit = write all new dirs, then ``os.replace`` the catalog —
     the one atomic step.  A crash before the replace leaves the old
     catalog intact; orphan dirs are ignored.
   * per-round lineage records (FIXTURES.md §6) ride inside the catalog
-    and in an append-only ``lineage`` table for audit queries.
+    (capped to the most recent ``LINEAGE_KEEP`` entries, with cumulative
+    ``totals`` rolled up so the catalog stays O(1) over rounds) and in
+    an append-only ``lineage.jsonl`` audit log (readable with
+    ``spark.read.json``; the catalog is authoritative — a crash between
+    the log append and the catalog swap leaves a harmless extra line,
+    and the replayed round's line supersedes it: last line per round
+    wins).
 
 On a real cluster this maps 1:1 onto Iceberg: rewrite tables →
 copy-on-write MERGE, append tables → snapshot append, the catalog swap →
@@ -35,6 +49,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 CATALOG = "_catalog.json"
+LINEAGE_LOG = "lineage.jsonl"
+LINEAGE_KEEP = 64  # catalog keeps this many recent entries; totals roll up
 
 
 class SnapshotStore:
@@ -50,7 +66,8 @@ class SnapshotStore:
     def read_catalog(self) -> dict[str, Any]:
         p = self._catalog_path()
         if not os.path.exists(p):
-            return {"round": 0, "tables": {}, "appends": {}, "lineage": []}
+            return {"round": 0, "tables": {}, "appends": {},
+                    "lineage": [], "totals": {}}
         with open(p) as f:
             return json.load(f)
 
@@ -70,14 +87,47 @@ class SnapshotStore:
         cat = self.read_catalog()
         if table in cat["tables"]:
             return spark.read.parquet(os.path.join(self.root, cat["tables"][table]))
+        bucketed = cat.get("buckets", {}).get(table)
+        if bucketed:
+            paths = [os.path.join(self.root, p) for p in bucketed["dirs"].values()]
+            return spark.read.parquet(*paths)
         segs = cat["appends"].get(table)
         if segs:
             return spark.read.parquet(*[os.path.join(self.root, s) for s in segs])
         return None
 
+    def read_buckets(
+        self, spark: SparkSession, table: str, bucket_ids
+    ) -> DataFrame | None:
+        """Read only the given buckets of a bucketed table (the commit
+        path's working set — never the full table)."""
+        cat = self.read_catalog()
+        bucketed = cat.get("buckets", {}).get(table)
+        if not bucketed:
+            return None
+        dirs = bucketed["dirs"]
+        paths = [
+            os.path.join(self.root, dirs[str(b)])
+            for b in bucket_ids if str(b) in dirs
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def is_bucketed(self, table: str) -> bool:
+        return table in self.read_catalog().get("buckets", {})
+
+    def bucket_count(self, table: str) -> int | None:
+        b = self.read_catalog().get("buckets", {}).get(table)
+        return b["n"] if b else None
+
     def exists(self, table: str) -> bool:
         cat = self.read_catalog()
-        return table in cat["tables"] or bool(cat["appends"].get(table))
+        return (
+            table in cat["tables"]
+            or table in cat.get("buckets", {})
+            or bool(cat["appends"].get(table))
+        )
 
     # -- round commit ------------------------------------------------------
 
@@ -87,30 +137,48 @@ class SnapshotStore:
         rewrites: dict[str, DataFrame],
         appends: dict[str, DataFrame],
         metrics: dict[str, Any] | None = None,
+        bucket_updates: dict[str, tuple[DataFrame, int]] | None = None,
     ) -> None:
         """Write all round outputs, then swap the catalog atomically.
 
         ``rewrites`` replace a table's current version (frontier MERGE
-        analog); ``appends`` add a segment (postings/crawl-log sink)."""
+        analog); ``appends`` add a segment (postings/crawl-log sink);
+        ``bucket_updates`` maps table -> (df, n_buckets) where df holds
+        the full new contents of ONLY the touched buckets and carries an
+        int ``bucket`` column — one partitioned write re-points just
+        those buckets (Iceberg partition-overwrite analog)."""
         cat = self.read_catalog()
         new_tables = dict(cat["tables"])
         new_appends = {k: list(v) for k, v in cat["appends"].items()}
+        new_buckets = {
+            t: {"n": b["n"], "dirs": dict(b["dirs"])}
+            for t, b in cat.get("buckets", {}).items()
+        }
 
         # the per-table writes are independent Spark jobs — run them
         # concurrently so their stages overlap (Spark's scheduler is
         # thread-safe; on a cluster this fills otherwise-idle executors
         # while e.g. the postings shuffle's tail finishes)
-        jobs: list[tuple[str, str, DataFrame, bool]] = []
+        jobs: list[tuple[str, str, DataFrame, str]] = []
         for table, df in rewrites.items():
-            jobs.append((table, f"{table}/snap-{rnd:06d}", df, True))
+            jobs.append((table, f"{table}/snap-{rnd:06d}", df, "rewrite"))
         for table, df in appends.items():
             if df is not None:
-                jobs.append((table, f"{table}/seg-{rnd:06d}", df, False))
+                jobs.append((table, f"{table}/seg-{rnd:06d}", df, "append"))
+        for table, (df, nb) in (bucket_updates or {}).items():
+            prev = new_buckets.get(table)
+            if prev is not None and prev["n"] != nb:
+                raise ValueError(
+                    f"{table}: bucket count {nb} != catalog {prev['n']}")
+            jobs.append((table, f"{table}/snap-{rnd:06d}", df, "bucket"))
 
         def _write(job):
-            _, rel, df, _ = job
+            _, rel, df, kind = job
             t0 = time.time()
-            df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+            w = df.write.mode("overwrite")
+            if kind == "bucket":
+                w = w.partitionBy("bucket")
+            w.parquet(os.path.join(self.root, rel))
             if os.environ.get("SPIDER_TIMING", "") == "1":
                 import sys
                 print(f"## write {rel}: {time.time()-t0:.2f}s", file=sys.stderr)
@@ -122,24 +190,43 @@ class SnapshotStore:
         else:
             for job in jobs:
                 _write(job)
-        for table, rel, _, is_rewrite in jobs:
-            if is_rewrite:
+        for table, rel, _, kind in jobs:
+            if kind == "rewrite":
                 new_tables[table] = rel
-            else:
+            elif kind == "append":
                 new_appends.setdefault(table, []).append(rel)
+            else:  # bucket: re-point only the buckets the write produced
+                ent = new_buckets.setdefault(
+                    table, {"n": bucket_updates[table][1], "dirs": {}})
+                out_dir = os.path.join(self.root, rel)
+                for sub in os.listdir(out_dir):
+                    if sub.startswith("bucket="):
+                        ent["dirs"][sub.split("=", 1)[1]] = f"{rel}/{sub}"
+                new_tables.pop(table, None)  # supersedes any legacy version
 
-        lineage = list(cat.get("lineage", []))
-        lineage.append({
+        entry = {
             "round": rnd,
             "tables": sorted(list(rewrites) + list(appends)),
             "metrics": metrics or {},
             "committed_at": time.time(),  # informational only, not semantic
-        })
+        }
+        lineage = list(cat.get("lineage", []))
+        lineage.append(entry)
+        totals = dict(cat.get("totals", {}))
+        totals["rounds_committed"] = totals.get("rounds_committed", 0) + 1
+        for key in ("fetched", "admitted"):
+            if key in (metrics or {}):
+                totals[key] = totals.get(key, 0) + metrics[key]
+        # audit log append (non-atomic by design — see module docstring)
+        with open(os.path.join(self.root, LINEAGE_LOG), "a") as f:
+            f.write(json.dumps(entry) + "\n")
         self._swap_catalog({
             "round": rnd,
             "tables": new_tables,
             "appends": new_appends,
-            "lineage": lineage,
+            "buckets": new_buckets,
+            "lineage": lineage[-LINEAGE_KEEP:],
+            "totals": totals,
         })
 
     # -- maintenance -------------------------------------------------------
@@ -151,6 +238,8 @@ class SnapshotStore:
         live = set(cat["tables"].values())
         for segs in cat["appends"].values():
             live.update(segs)
+        for b in cat.get("buckets", {}).values():
+            live.update(b["dirs"].values())  # leaf bucket=N dirs
         removed = []
         for table in os.listdir(self.root):
             tdir = os.path.join(self.root, table)
@@ -158,7 +247,20 @@ class SnapshotStore:
                 continue
             for snap in os.listdir(tdir):
                 rel = f"{table}/{snap}"
-                if rel not in live:
-                    shutil.rmtree(os.path.join(tdir, rel.split("/", 1)[1]))
+                if rel in live:
+                    continue
+                snap_dir = os.path.join(tdir, snap)
+                live_leaves = {p for p in live if p.startswith(rel + "/")}
+                if live_leaves:
+                    # mixed snap dir of a bucketed table: remove only
+                    # the dead bucket subdirs, keep the live ones
+                    for sub in os.listdir(snap_dir):
+                        leaf = f"{rel}/{sub}"
+                        sub_path = os.path.join(snap_dir, sub)
+                        if leaf not in live_leaves and os.path.isdir(sub_path):
+                            shutil.rmtree(sub_path)
+                            removed.append(leaf)
+                else:
+                    shutil.rmtree(snap_dir)
                     removed.append(rel)
         return removed

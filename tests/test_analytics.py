@@ -159,15 +159,88 @@ def test_fingerprint_stability(docs, spark):
     assert text.doc_fingerprint("hello   world") == text.doc_fingerprint("hello world")
 
 
+def test_multimodal_codecs_roundtrip():
+    """Real pure-numpy codecs: encode -> decode is exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    h, w, c, out = multimodal.decode_bmp(multimodal.encode_bmp(px))
+    assert (h, w, c) == (5, 7, 3)
+    assert np.array_equal(out, px)
+
+    samples = rng.integers(-2**15, 2**15, size=123).astype(np.int16)
+    rate, ch, out_s = multimodal.decode_wav(multimodal.encode_wav(samples, 16000))
+    assert (rate, ch) == (16000, 1)
+    assert np.array_equal(out_s, samples)
+
+    frames = [rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+              for _ in range(5)]
+    parts = multimodal.demux_video(multimodal.encode_video(frames))
+    assert len(parts) == 5
+    assert np.array_equal(multimodal.decode_bmp(parts[2])[3], frames[2])
+
+
+def test_multimodal_rejects_garbage():
+    import pytest as _pytest
+
+    for fn in (multimodal.decode_bmp, multimodal.decode_wav,
+               multimodal.demux_video):
+        with _pytest.raises(ValueError):
+            fn(b"not a media payload")
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.make_media_table(spark, n=30)
+    n_feat = 6 + multimodal.N_HIST_BINS
     img = multimodal.extract_image_features(media)
     rows = img.collect()
     assert len(rows) == 10  # every 3rd row is an image
-    assert all(len(r["features"]) == 16 for r in rows)
+    assert all(len(r["features"]) == n_feat for r in rows)
+    assert all(r["width"] > 0 and r["height"] > 0 for r in rows)
+
+    aud = multimodal.extract_audio_features(media).collect()
+    assert len(aud) == 10
+    assert all(len(r["features"]) == 10 and r["sample_rate"] == 8000
+               for r in aud)
+
     frames = multimodal.sample_video_frames(media, every_n=10)
     frows = frames.collect()
     assert len(frows) > 0
     assert all(r["frame_idx"] % 10 == 0 for r in frows)
+    assert all(len(r["frame_features"]) == n_feat for r in frows)
     # determinism
     assert [r["features"] for r in img.collect()] == [r["features"] for r in rows]
+    # undecodable payloads are dropped, not fatal
+    bad = spark.createDataFrame(
+        [("http://m/bad", "image", b"junk", {})], multimodal.MEDIA_SCHEMA)
+    assert multimodal.extract_image_features(bad).count() == 0
+
+
+def test_lsh_bucket_cap_degenerate_corpus(spark):
+    """1000 near-identical docs would make every LSH bucket quadratic;
+    the cap bounds candidates and reports what it dropped."""
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate text repeated forever " * 5)
+         for i in range(1000)],
+        "doc_id long, text string",
+    )
+    stats = {}
+    pairs = dedup.minhash_near_duplicates(
+        docs, num_hashes=32, bands=8, jaccard_threshold=0.5,
+        bucket_cap=16, stats_out=stats,
+    )
+    n = pairs.count()
+    assert n <= 16 * 15 // 2  # candidates bounded by the cap, not n^2
+    assert stats["buckets_over_cap"] > 0
+    assert stats["rows_dropped"] > 0
+
+    stats2 = {}
+    sh = dedup.simhash_near_duplicates(
+        docs, max_hamming=3, bucket_cap=16, stats_out=stats2)
+    assert sh.count() <= 16 * 15 // 2
+    assert stats2["rows_dropped"] > 0
+
+    # determinism: lowest doc_ids are the kept ones
+    kept = {r.doc_id for r in pairs.collect()} | {r.doc_id2 for r in pairs.collect()}
+    assert kept and max(kept) < 16

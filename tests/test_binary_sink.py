@@ -117,3 +117,17 @@ def test_distributed_binary_write(spark, tmp_path):
         buf.read(12)
         decoded_terms.append(_read_java_utf(buf))
     assert sorted(decoded_terms) == ["alpha", "alpha", "zeta"]
+
+
+def test_pos_fragments_written_when_present():
+    """posFragments fidelity (TermPageEntry.java:33): the sink reads the
+    map instead of hardcoding empty fragments."""
+    import struct
+
+    empty = encode_entry("t", "u", 0.5, None, [7])
+    frag = encode_entry("t", "u", 0.5, None, [7], {7: "snippet"})
+    assert empty != frag
+    assert frag.endswith(struct.pack(">H", 7) + b"snippet")
+    # absent / empty map behaves exactly as before
+    assert encode_entry("t", "u", 0.5, None, [7], {}) == empty
+    assert encode_entry("t", "u", 0.5, None, [7], {3: "other"}) == empty

@@ -1,0 +1,100 @@
+"""Bucketed frontier commits (SURVEY.md §7 / VERDICT r1 item 1).
+
+The frontier is stored as pmod(url_hash, n_buckets) bucket dirs; a
+round's commit rewrites ONLY buckets containing that round's status
+updates or admissions (Iceberg partition-overwrite analog).  These
+tests pin the scale property directly: untouched bucket dirs are
+byte-identical (same immutable path) across commits, so commit cost
+tracks the round's update volume, not frontier size.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from spider_spark.engine import CrawlEngine
+from spider_spark.state.store import SnapshotStore
+
+
+def _mk_engine(spark, corpus_dir, crawl_config, root):
+    return CrawlEngine(
+        spark, SnapshotStore(root), corpus_dir + "/documents.parquet",
+        crawl_config,
+        robots=spark.read.parquet(corpus_dir + "/robots.parquet"),
+        hosts=spark.read.parquet(corpus_dir + "/hosts.parquet"),
+    )
+
+
+def _bucket_dirs(store):
+    return dict(store.read_catalog()["buckets"]["frontier"]["dirs"])
+
+
+def test_frontier_is_bucketed(spark, corpus_dir, corpus, crawl_config, tmp_path):
+    eng = _mk_engine(spark, corpus_dir, crawl_config, str(tmp_path / "b1"))
+    eng.bootstrap(corpus["seeds"])
+    eng.run(2)
+    store = eng.store
+    assert store.is_bucketed("frontier")
+    assert store.bucket_count("frontier") == crawl_config.frontier_buckets
+    # every row lands in the bucket dir matching pmod(url_hash, nb)
+    nb = crawl_config.frontier_buckets
+    dirs = _bucket_dirs(store)
+    for b, rel in dirs.items():
+        df = spark.read.parquet(os.path.join(store.root, rel))
+        bad = df.filter(
+            F.pmod(F.xxhash64("url"), F.lit(nb)).cast("int") != int(b)
+        ).count()
+        assert bad == 0, f"bucket {b} holds foreign rows"
+
+
+def test_untouched_buckets_stay_immutable(spark, corpus_dir, corpus,
+                                          crawl_config, tmp_path):
+    """An enqueue of a single URL must re-point at most the few buckets
+    that URL (and nothing else) hashes into — everything else keeps its
+    previous immutable dir."""
+    eng = _mk_engine(spark, corpus_dir, crawl_config, str(tmp_path / "b2"))
+    eng.bootstrap(corpus["seeds"])
+    eng.run(3)
+    before = _bucket_dirs(eng.store)
+    assert len(before) > 2  # the crawl populated several buckets
+
+    n = eng.enqueue(["http://bucket-probe.example/only-one"], force=False)
+    assert n == 1
+    after = _bucket_dirs(eng.store)
+    changed = {b for b in after if before.get(b) != after[b]}
+    assert len(changed) <= 1, f"single-URL enqueue rewrote buckets {changed}"
+    # the untouched dirs are the SAME paths (no rewrite happened)
+    for b in after:
+        if b not in changed:
+            assert after[b] == before[b]
+
+
+def test_round_commits_only_touched_buckets(spark, corpus_dir, corpus,
+                                            crawl_config, tmp_path):
+    """Across consecutive rounds the set of live bucket dirs spans
+    multiple snapshot generations — proof that rounds do not rewrite
+    the whole frontier."""
+    eng = _mk_engine(spark, corpus_dir, crawl_config, str(tmp_path / "b3"))
+    eng.bootstrap(corpus["seeds"])
+    eng.run(4)
+    dirs = _bucket_dirs(eng.store).values()
+    generations = {p.split("/")[1] for p in dirs}  # snap-00000N
+    assert len(generations) >= 2, (
+        f"all buckets point at one snapshot generation {generations} — "
+        "rounds are rewriting the full frontier")
+
+
+def test_gc_preserves_live_buckets(spark, corpus_dir, corpus, crawl_config,
+                                   tmp_path):
+    eng = _mk_engine(spark, corpus_dir, crawl_config, str(tmp_path / "b4"))
+    eng.bootstrap(corpus["seeds"])
+    eng.run(3)
+    frontier_before = sorted(
+        map(tuple, eng.frontier().toPandas().fillna(-1).values.tolist()))
+    removed = eng.store.gc_orphans()
+    # dead bucket generations are collected, live ones survive
+    live = set(_bucket_dirs(eng.store).values())
+    assert not live & set(removed)
+    frontier_after = sorted(
+        map(tuple, eng.frontier().toPandas().fillna(-1).values.tolist()))
+    assert frontier_before == frontier_after

@@ -53,7 +53,11 @@ def test_frontier_state_identical(engine, oracle):
         for attr in ("id", "host", "status", "priority", "last_change", "comment"):
             assert row[attr] == getattr(page, attr), (url, attr)
         et = row["title"]
-        assert (et is None or et != et and page.title is None) or et == page.title, url
+        # engine None/NaN is only acceptable when the oracle title is
+        # also None; otherwise the titles must match exactly
+        assert (et == page.title) or (
+            (et is None or et != et) and page.title is None
+        ), url
 
 
 def test_crawl_order_identical(engine, oracle):
@@ -82,6 +86,33 @@ def test_postings_identical(engine, oracle):
         assert epos == opos, k
         assert erel == orel, k       # float32 bit parity
         assert (etitle is None and otitle is None) or etitle == otitle, k
+
+
+def test_mime_gate_succeeded_not_indexed(engine, oracle, corpus, crawl_config):
+    """B6 (Spider.java:457-464): fetched pages with an unsafe declared
+    content type are SUCCEEDED with NO postings, NO outlink admissions,
+    NO title — identically in engine and oracle."""
+    from spider_spark.oracle.simulator import declared_mime
+
+    unsafe_urls = {
+        u for u, spans in corpus["documents"].items()
+        if declared_mime(spans) is not None
+        and declared_mime(spans) not in crawl_config.safe_mime_types
+    }
+    rows = {r["url"]: r for r in engine.frontier().toPandas().to_dict("records")}
+    fetched_unsafe = {
+        u for u in unsafe_urls
+        if u in rows and rows[u]["status"] != "QUEUED"
+    }
+    assert fetched_unsafe, "corpus never exercised the MIME gate"
+    posting_docs = {
+        r.doc_id for r in engine.postings().select("doc_id").distinct().collect()
+    }
+    for u in fetched_unsafe:
+        assert rows[u]["status"] == "SUCCEEDED", u
+        et = rows[u]["title"]
+        assert et is None or et != et, u  # no title captured
+        assert u not in posting_docs, u   # fetched but never indexed
 
 
 def test_status_machine_sanity(engine, oracle):

@@ -57,3 +57,28 @@ def test_cuckoo_full_table_reports_failure():
     cf = CuckooFilter(16)
     ok = sum(cf.add(f"k{i}") for i in range(200))
     assert ok < 200  # must signal saturation, not silently drop
+
+
+def test_bloom_hash_array_api_no_false_negatives():
+    """The engine hot path: vectorized add/probe over 64-bit hash pairs
+    (JVM xxhash64 stand-ins) — no false negatives, bounded FPR."""
+    rng = np.random.default_rng(7)
+    h1 = rng.integers(0, 2**63, size=5000, dtype=np.int64).view(np.uint64)
+    h2 = rng.integers(0, 2**63, size=5000, dtype=np.int64).view(np.uint64)
+    bf = BloomFilter(5000, bits_per_key=10)
+    bf.add_hash_arrays(h1, h2)
+    assert bf.contains_hash_arrays(h1, h2).all()
+    o1 = rng.integers(0, 2**63, size=20000, dtype=np.int64).view(np.uint64)
+    o2 = rng.integers(0, 2**63, size=20000, dtype=np.int64).view(np.uint64)
+    fpr = bf.contains_hash_arrays(o1, o2).mean()
+    assert fpr < 0.05
+
+
+def test_bloom_hash_array_negative_int64_wraps():
+    """Signed xxhash64 values (negative int64) must round-trip through
+    the uint64 view identically on build and probe."""
+    h1 = np.array([-1, -(2**62), 5], dtype=np.int64).view(np.uint64)
+    h2 = np.array([-3, 7, -(2**40)], dtype=np.int64).view(np.uint64)
+    bf = BloomFilter(64)
+    bf.add_hash_arrays(h1, h2)
+    assert bf.contains_hash_arrays(h1, h2).all()
