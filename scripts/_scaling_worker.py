@@ -38,11 +38,17 @@ EXECUTOR_MEM_MB = 10240
 MODE = os.environ.get("SPIDER_SCALE_MODE", "local")
 # fixed across both levels so both run the same physical plans
 SHUFFLE_PARTITIONS = int(os.environ.get("SPIDER_SCALE_SHUFFLE", "32"))
+# tmpfs for state + shuffle spill: the sandbox /tmp is disk-backed and
+# writeback storms from snapshot commits otherwise bleed into the
+# measured window of LATER rounds (observed as 2-3x phase outliers)
+SCRATCH = os.environ.get("SPIDER_SCALE_TMP", "/dev/shm/spider_scale")
 
 
 def _common(builder):
+    os.makedirs(os.path.join(SCRATCH, "spark_local"), exist_ok=True)
     return (
         builder
+        .config("spark.local.dir", os.path.join(SCRATCH, "spark_local"))
         .config("spark.sql.shuffle.partitions", str(SHUFFLE_PARTITIONS))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
@@ -50,7 +56,12 @@ def _common(builder):
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "24g")
+        # cache working set (fetch-join spans + token arrays) must fit
+        # in storage memory at budget-100k rounds; an undersized heap
+        # showed up as 3-5x tokenize-phase blowups from cache eviction
+        # + recompute storms, not as an OOM
+        .config("spark.driver.memory",
+                os.environ.get("SPIDER_SCALE_DRIVER_MEM", "56g"))
     )
 
 
@@ -103,7 +114,8 @@ def main() -> None:
         max_parallel_non_working=budget,
         default_host_quota=max(8, budget // max(4, n_hosts // 4)),
     )
-    wd = tempfile.mkdtemp(prefix=f"scaling_{MODE}_{size}_")
+    os.makedirs(SCRATCH, exist_ok=True)
+    wd = tempfile.mkdtemp(prefix=f"scaling_{MODE}_{size}_", dir=SCRATCH)
     eng = CrawlEngine(spark, SnapshotStore(os.path.join(wd, "state")),
                       corpus_path, cfg)
     # dense seed list: every round's selection can fill the budget

@@ -49,6 +49,13 @@ class CrawlConfig:
     index_title: str = "Spider index"
     index_owner: str = "Freenet"
     index_owner_email: str = "(nil)"
+    # Request priority classes (db/Config.java:194-201 RequestStarter
+    # ladder, 0=MAXIMUM .. 6=MINIMUM; the reference schedules editioned
+    # USK refetches ahead of normal pages).  The frontier's priority
+    # column accepts any configured ladder value; scheduling ranks
+    # (priority asc, last_change, id).
+    edition_priority: int = -1
+    default_priority: int = 0
     # B6 MIME gate (Spider.java:457-464,590-594): a fetched page whose
     # declared content type is not whitelisted is marked SUCCEEDED but
     # NOT parsed/indexed — no postings, no outlinks, no title.  Pages

@@ -400,10 +400,15 @@ class CrawlEngine:
             )
         )
         cleanup: list = []
+        # small rounds skip the two-pass machinery: its extra jobs
+        # (range sample + stats collect) cost more than a one-partition
+        # window over a few thousand candidates; the two paths assign
+        # IDENTICAL ids (tests/test_admission_plan.py)
+        seq_parts = self.config.seq_partitions if k > 4096 else 1
         new_rows, _ = admission.admit(
             self.spark, candidates, frontier, self.config, self.robots,
             rnd=rnd, seq_start=k + 1, next_id=next_id, bloom=self.bloom,
-            cleanup=cleanup,
+            cleanup=cleanup, seq_partitions=seq_parts,
         )
         new_rows = new_rows.cache()
         n_new = new_rows.count()

@@ -136,6 +136,7 @@ def admit(
     next_id: int,
     bloom: BloomFilter | None = None,
     cleanup: list | None = None,
+    seq_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full admission pipeline.
 
@@ -193,13 +194,15 @@ def admit(
         tagged = new_urls.withColumn("_new", F.lit(True))
 
     is_new_int = F.when(F.col("_new"), 1).otherwise(0)
-    if config.seq_partitions > 1:
+    if seq_partitions is None:
+        seq_partitions = config.seq_partitions
+    if seq_partitions > 1:
         # two-pass distributed assignment (module scale note): range
         # boundaries only decide WHERE a row sits; the (offset +
         # partition-local rank) total is invariant to them, so the ids
         # are deterministic regardless of sampling.
         t = (
-            tagged.repartitionByRange(config.seq_partitions, F.col("_ord"))
+            tagged.repartitionByRange(seq_partitions, F.col("_ord"))
             .withColumn("_pid", F.spark_partition_id())
             .cache()
         )
@@ -256,7 +259,9 @@ def admit(
             F.xxhash64("url").alias("url_hash"),
             "host",
             F.lit("QUEUED").alias("status"),
-            F.when(F.col("edition").isNotNull(), F.lit(-1)).otherwise(F.lit(0))
+            F.when(F.col("edition").isNotNull(),
+                   F.lit(config.edition_priority))
+            .otherwise(F.lit(config.default_priority))
             .cast("int").alias("priority"),
             F.col("edition").cast("long").alias("edition"),
             last_change.alias("last_change"),

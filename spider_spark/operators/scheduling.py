@@ -69,14 +69,23 @@ def select_batch(
     config: CrawlConfig,
     budget: int,
     salted: bool = True,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """The round's fetch set with a deterministic ``rank`` column
     (1-based crawl order within the round).
+
+    ``exclude`` is the skip-running hook (Spider.java:227: pages already
+    in flight are skipped by the capacity scan): a (url) DataFrame of
+    in-flight pages anti-joined out before ranking — used if rounds ever
+    overlap (mid-round top-up) or an external fetcher holds leases.
 
     sort+limit → TakeOrderedAndProject keeps the global top-K cheap; the
     final row_number runs over ≤ budget rows in one partition, which is
     fine because budget is the per-round fetch capacity (driver-bounded),
     not a data-sized quantity."""
+    if exclude is not None:
+        queued = queued.join(F.broadcast(exclude.select("url")),
+                             "url", "left_anti")
     eligible = eligible_per_host(queued, hosts, config, salted=salted)
     order = [F.col(c).asc() for c in RANK_COLS]
     topk = eligible.orderBy(*order).limit(budget)

@@ -197,7 +197,9 @@ class OracleCrawler:
                     url=url,
                     host=extract_host(url),
                     status="QUEUED",
-                    priority=-1 if edition is not None else 0,
+                    priority=(self.config.edition_priority
+                              if edition is not None
+                              else self.config.default_priority),
                     edition=edition,
                     last_change=(rnd << SEQ_SHIFT) | seq,
                     comment=comment,

@@ -53,3 +53,21 @@ def test_two_pass_ids_match_single_window(spark):
     assert key(multi) == key(single)
     for df in cleanup:
         df.unpersist()
+
+
+def test_priority_ladder_configurable(spark):
+    """Request priority classes (db/Config.java:194-201): the ladder is
+    configuration, not a hardcoded binary."""
+    cleanup: list = []
+    rows = [(0, 0, 0, "http://h.example/d/1", "c", False),
+            (0, 0, 1, "http://h.example/d/2?edition=-4", "c", False)]
+    cand = spark.createDataFrame(rows, admission.CANDIDATE_SCHEMA)
+    cfg = CrawlConfig(edition_priority=2, default_priority=4)
+    new_rows, _ = admission.admit(spark, cand, None, cfg, None,
+                                  rnd=1, seq_start=0, next_id=0,
+                                  cleanup=cleanup)
+    pr = {r.url: r.priority for r in new_rows.collect()}
+    assert pr["http://h.example/d/1"] == 4
+    assert [p for u, p in pr.items() if "edition" in u] == [2]
+    for df in cleanup:
+        df.unpersist()
