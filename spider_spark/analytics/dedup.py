@@ -52,19 +52,32 @@ def _cap_bucket_size(
 ) -> DataFrame:
     """Keep at most bucket_cap rows per LSH bucket (lowest order_col
     wins — deterministic).  stats_out, when given, is filled with
-    {'buckets_over_cap', 'rows_dropped'} via one small agg job."""
+    {'buckets_over_cap', 'rows_dropped'} via one small agg job.  When
+    stats_out is NOT given the truncation counts are still computed and
+    logged as a warning if anything was dropped — the cap is never
+    silent (a boilerplate-heavy corpus can lose near-dup recall here,
+    and the caller should know)."""
     if bucket_cap is None:
         return banded
+    over = (
+        banded.groupBy(*key_cols).count()
+        .filter(F.col("count") > bucket_cap)
+        .agg(F.count("*").alias("b"),
+             F.sum(F.col("count") - bucket_cap).alias("d"))
+        .first()
+    )
+    n_over, n_dropped = over["b"] or 0, over["d"] or 0
     if stats_out is not None:
-        over = (
-            banded.groupBy(*key_cols).count()
-            .filter(F.col("count") > bucket_cap)
-            .agg(F.count("*").alias("b"),
-                 F.sum(F.col("count") - bucket_cap).alias("d"))
-            .first()
+        stats_out["buckets_over_cap"] = n_over
+        stats_out["rows_dropped"] = n_dropped
+    elif n_dropped:
+        import warnings
+        warnings.warn(
+            f"LSH bucket_cap={bucket_cap}: dropped {n_dropped} rows from "
+            f"{n_over} oversized buckets (near-dup recall may suffer; "
+            "pass stats_out= to collect these counts instead)",
+            stacklevel=3,
         )
-        stats_out["buckets_over_cap"] = over["b"] or 0
-        stats_out["rows_dropped"] = over["d"] or 0
     w = Window.partitionBy(*key_cols).orderBy(order_col)
     return (
         banded.withColumn("_rn", F.row_number().over(w))

@@ -137,6 +137,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8: pos + 8 + size]
         if cid == b"fmt ":
+            # bounds-check before unpack: a declared size larger than
+            # the remaining bytes must surface as ValueError (the
+            # operators' drop-bad-payloads contract), not struct.error
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
             if audio_fmt != 1 or bits != 16:
                 raise ValueError(f"unsupported WAV (fmt={audio_fmt} bits={bits})")
@@ -162,12 +167,16 @@ def encode_video(frames: list[np.ndarray]) -> bytes:
 
 def demux_video(payload: bytes) -> list[bytes]:
     """Container walk -> list of encoded frame payloads."""
-    if payload is None or payload[:4] != b"VID0":
+    if payload is None or len(payload) < 8 or payload[:4] != b"VID0":
         raise ValueError("not a VID0 payload")
     (n,) = struct.unpack_from("<I", payload, 4)
     pos, frames = 8, []
     for _ in range(n):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated VID0 frame table")
         (ln,) = struct.unpack_from("<I", payload, pos)
+        if pos + 4 + ln > len(payload):
+            raise ValueError("truncated VID0 frame payload")
         frames.append(payload[pos + 4: pos + 4 + ln])
         pos += 4 + ln
     return frames

@@ -75,6 +75,22 @@ class CrawlConfig:
     # row_number); 1 → single global window (tiny rounds only)
     seq_partitions: int = 8
     bloom_bits_per_key: int = 10
+    # the sharded Bloom/cuckoo prefilters only pay for themselves once
+    # the frontier outgrows what the exact anti-join handles trivially;
+    # below this row count the engine runs no filter jobs at all
+    # (tests set 0 to force the filter path on tiny corpora)
+    filter_min_keys: int = 100_000
+    # per-bucket cuckoo "done" table (deletion-capable queued-or-done
+    # view backing force-requeue, Spider.java:185-188)
+    use_cuckoo: bool = True
+    # rounds whose total working set is below this coalesce their
+    # commit writes to one task — partitioned writes otherwise pay
+    # ~n_buckets empty tasks per tiny round
+    small_round_rows: int = 20_000
+    # append tables (postings / crawl_log) compact into one rollup
+    # segment when their segment list reaches this length, bounding
+    # read fan-out at ~10^4 rounds (store.compact_appends)
+    max_append_segments: int = 48
     respect_robots: bool = True
 
     def max_parallel(self, round_hour: int) -> int:

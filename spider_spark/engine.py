@@ -4,22 +4,39 @@ One round (≈ startSomeRequests → fetch → onSuccess/onFailure → maybeSend
 Spider.java:206-255,415-541):
 
   1. budget    — max_parallel(hour), hour := round % 24 (deterministic)
-  2. select    — per-host politeness quota + global top-K
-                 (operators.scheduling; C1-C4)
+  2. select    — per-host politeness quota + global top-K over a
+                 STATUS-PRUNED frontier read: the store lists only
+                 ``_pstatus=QUEUED`` leaf files (PerstRoot's per-status
+                 B-trees, db/PerstRoot.java:33-37), so the select never
+                 scans non-queued rows
   3. fetch     — broadcast-join the ≤K selected URLs against the
                  documents table (A4; the sandbox "network")
   4. parse     — operators.parse (D1-D6), one Arrow tokenize hop
   5. postings  — operators.postings (E1-E6) → append
   6. statuses  — INDEXED / SUCCEEDED(redirect) / FAILED merges (F2-F4)
   7. admit     — outlinks + redirect targets (operators.admission, B1-B5,
-                 F1) → frontier union
+                 F1) → frontier union.  At scale the sharded per-bucket
+                 Bloom table (operators.seenfilter) prefilters the
+                 dedup anti-join, and the confirm join reads ONLY the
+                 buckets still holding maybe-seen rows
   8. commit    — one atomic catalog swap for all tables (F5); a crashed
                  round commits nothing and is replayed (NOT_PUSHED→QUEUED
                  analog, LibraryBuffer.java:97-102).  The frontier is
-                 BUCKETED by pmod(xxhash64(url), frontier_buckets): only
-                 buckets containing this round's status updates or new
-                 admissions are rewritten — commit cost scales with the
-                 round's update volume, not the frontier size
+                 BUCKETED by pmod(xxhash64(url), frontier_buckets) and
+                 sub-partitioned by status: only buckets containing this
+                 round's status updates or new admissions are rewritten.
+                 The Bloom/cuckoo filter tables are themselves bucketed
+                 snapshot tables committed IN THE SAME atomic swap, so
+                 filter state can never go stale relative to the
+                 frontier (a false negative would admit a URL twice)
+
+Per-round job discipline (the driver-bench lesson from round 2: fixed
+per-round overhead, not data volume, dominated k≤1024 rounds): a small
+round runs exactly  (a) one select collect,  (b) one tokenize
+materialization,  (c) one fused admissions+touched-buckets aggregation,
+and  (d) the concurrent commit writes — with commit outputs coalesced
+to one task when the working set is tiny.  Filter maintenance only
+engages past ``config.filter_min_keys`` frontier rows.
 
 Every source of nondeterminism is pinned (SURVEY §7.3): ids are
 admission sequence numbers, last_change is (round<<32)|seq in 64-bit
@@ -40,8 +57,7 @@ import sys
 import time
 
 from .config import SEQ_SHIFT, CrawlConfig
-from .functions.filters import BloomFilter
-from .operators import admission, parse, postings, scheduling
+from .operators import admission, parse, postings, scheduling, seenfilter
 from .state.store import SnapshotStore
 
 _TIMING = os.environ.get("SPIDER_TIMING", "") == "1"
@@ -73,8 +89,7 @@ class CrawlEngine:
         self.robots = robots
         self.hosts = hosts
         self.use_bloom = use_bloom
-        self.bloom: BloomFilter | None = None
-        self._bloom_count = 0
+        self._docs_df: DataFrame | None = None
 
     # -- frontier bucketing (Iceberg partition-overwrite analog) -----------
 
@@ -88,74 +103,118 @@ class CrawlEngine:
         since url_hash := xxhash64(url) at admission."""
         return F.pmod(F.xxhash64(F.col("url")), F.lit(nb)).cast("int")
 
-    def _touched_buckets(self, *dfs: DataFrame) -> list[int]:
-        """Distinct bucket ids across the given (small, cached) update
-        sets — one tiny job; result is ≤ n_buckets ints."""
-        nb = self._n_buckets()
-        parts = [df.select("url") for df in dfs if df is not None]
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        rows = u.select(self._bucket_expr(nb).alias("b")).distinct().collect()
-        return [r.b for r in rows]
+    def _documents(self) -> DataFrame:
+        if self._docs_df is None:
+            self._docs_df = self.spark.read.parquet(self.documents_path)
+        return self._docs_df
 
-    # -- bloom maintenance (B4 prefilter) ---------------------------------
+    # -- filter maintenance (B4/B5 sharded prefilters) ---------------------
     #
-    # Fully JVM+numpy path: xxhash64 pairs computed JVM-side, bitmap set
-    # by whole-array numpy inside mapInArrow, partial bitmaps OR-merged
-    # on the driver.  No .rdd, no per-row Python, no URL-string collect
-    # anywhere.  New admissions are folded in INCREMENTALLY with the
-    # same distributed pass — a full rebuild happens only when the
-    # filter outgrows its capacity (sized with 4x headroom so rebuilds
-    # are rare).  At 10^10 keys the OR-merge becomes a treeAggregate and
-    # the filter shards per url_hash bucket; the per-batch kernel is
-    # unchanged.
+    # The per-bucket Bloom (url-seen) and cuckoo (done := non-QUEUED,
+    # deletion-capable) tables live in the snapshot store and swap
+    # atomically with the frontier.  A bucket's Bloom is REBUILT from
+    # that bucket's merged rows whenever the bucket gains new URLs —
+    # those rows are already shuffled for the frontier rewrite, the
+    # sizing self-adjusts, and no driver ever holds a bitmap.  The
+    # cuckoo side updates incrementally (adds on fetch-completion,
+    # deletes on force-requeue) with an overflow→rebuild fallback.
 
-    def _or_into_bloom(self, df_urls: DataFrame) -> None:
-        """Distributed partial-bitmap build over df_urls, OR-merged into
-        self.bloom (numpy all the way down)."""
-        nwords = len(self.bloom.bits)
-        m, kk = self.bloom.m, self.bloom.k
+    def _filters_state(self, cat: dict, next_id: int) -> dict:
+        buckets = cat.get("buckets", {})
+        has_bloom = bool(buckets.get("bloom", {}).get("dirs"))
+        has_done = bool(buckets.get("done", {}).get("dirs"))
+        scale = next_id >= self.config.filter_min_keys
+        return {
+            "has_bloom": has_bloom,
+            "has_done": has_done,
+            "bloom_maintain": has_bloom or (self.use_bloom and scale),
+            "cuckoo_maintain": has_done or (self.config.use_cuckoo and scale),
+        }
 
-        hashed = df_urls.select(
-            F.xxhash64("url").alias("h1"),
-            F.xxhash64("url", F.lit(1)).alias("h2"),
+    def _filter_updates(
+        self,
+        fs: dict,
+        bloom_df: DataFrame | None,
+        done_df: DataFrame | None,
+        frontier_final: DataFrame,
+        nb: int,
+        touched: list[int],
+        new_bks: list[int],
+        migrate: bool,
+        cuckoo_changes: DataFrame | None,
+        cleanup: list,
+    ) -> dict[str, tuple[DataFrame, int]]:
+        """Bucket-table updates for the Bloom and cuckoo filters, to be
+        committed atomically with the frontier.  ``frontier_final``
+        must be cached by the caller when this returns anything."""
+        cfg = self.config
+        b = self._bucket_expr(nb)
+        out: dict[str, tuple[DataFrame, int]] = {}
+        need_full = (
+            (fs["bloom_maintain"] and bloom_df is None)
+            or (fs["cuckoo_maintain"] and done_df is None)
         )
+        full_rows = None
+        if need_full:
+            # one-time activation (or layout migration): the full URL
+            # set = this round's merged buckets ∪ the untouched buckets
+            full_rows = frontier_final.select("url", "status")
+            if not migrate:
+                rest_ids = [bk for bk in self.store.populated_buckets("frontier")
+                            if bk not in set(touched)]
+                rest = (self.store.read_buckets(self.spark, "frontier", rest_ids)
+                        if rest_ids else None)
+                if rest is not None:
+                    full_rows = full_rows.unionByName(
+                        rest.select("url", "status"))
 
-        def build(batches):
-            import numpy as np
-            import pyarrow as pa
-            bf = BloomFilter.__new__(BloomFilter)  # module-level import
-            bf.m, bf.k = m, kk
-            bf.bits = np.zeros(nwords, dtype=np.uint64)
-            for batch in batches:
-                h1 = batch.column("h1").to_numpy(zero_copy_only=False)
-                h2 = batch.column("h2").to_numpy(zero_copy_only=False)
-                bf.add_hash_arrays(h1.view(np.uint64), h2.view(np.uint64))
-            yield pa.RecordBatch.from_arrays(
-                [pa.array([bf.bits.tobytes()], type=pa.binary())], ["bits"])
+        if fs["bloom_maintain"]:
+            if bloom_df is None:
+                src = full_rows.select("url")
+            elif new_bks:
+                src = frontier_final.filter(b.isin(new_bks)).select("url")
+            else:
+                src = None
+            if src is not None:
+                out["bloom"] = (
+                    seenfilter.build_bucket_blooms(src, nb, cfg.bloom_bits_per_key)
+                    .withColumn("bucket", F.col("bkt")),
+                    nb,
+                )
 
-        import numpy as np
-        for r in hashed.mapInArrow(build, "bits binary").collect():
-            self.bloom.bits |= np.frombuffer(r.bits, dtype=np.uint64)
+        if fs["cuckoo_maintain"]:
+            if done_df is None:
+                done_src = full_rows.filter(
+                    F.col("status") != "QUEUED").select("url")
+                out["done"] = (
+                    seenfilter.build_bucket_cuckoos(done_src, nb)
+                    .withColumn("bucket", F.col("bkt")),
+                    nb,
+                )
+            elif cuckoo_changes is not None:
+                upd = seenfilter.update_bucket_cuckoos(
+                    cuckoo_changes, done_df, nb).cache()
+                cleanup.append(upd)
+                over = [r["bkt"] for r in
+                        upd.filter("overflow").select("bkt").collect()]
+                if over:
+                    rebuilt = seenfilter.build_bucket_cuckoos(
+                        frontier_final.filter(
+                            b.isin(over) & (F.col("status") != "QUEUED")
+                        ).select("url"),
+                        nb,
+                    )
+                    upd = upd.filter(~F.col("bkt").isin(over)) \
+                             .unionByName(rebuilt)
+                out["done"] = (upd.withColumn("bucket", F.col("bkt")), nb)
+        return out
 
-    def _build_bloom(self, frontier: DataFrame, n: int) -> None:
-        """Full (re)build sized for n current keys plus growth headroom.
-        n comes from the catalog's next_id — no count job."""
-        if not self.use_bloom:
-            return
-        self.bloom = BloomFilter(max(4096, 4 * n), self.config.bloom_bits_per_key)
-        self._or_into_bloom(frontier.select("url"))
-        self._bloom_count = n
-
-    def _bloom_add(self, new_rows: DataFrame, n_new: int) -> None:
-        if not self.use_bloom or self.bloom is None or n_new == 0:
-            return
-        if (self._bloom_count + n_new) * self.config.bloom_bits_per_key > self.bloom.m:
-            self.bloom = None  # outgrown — rebuild (distributed) next round
-            return
-        self._or_into_bloom(new_rows.select("url"))
-        self._bloom_count += n_new
+    def _maybe_compact(self) -> None:
+        cat = self.store.read_catalog()
+        for table, segs in cat["appends"].items():
+            if len(segs) >= self.config.max_append_segments:
+                self.store.compact_appends(
+                    self.spark, table, self.config.max_append_segments)
 
     # -- bootstrap (A1 seed source) ---------------------------------------
 
@@ -172,15 +231,18 @@ class CrawlEngine:
         new_rows, _ = admission.admit(
             self.spark, cand, None, self.config, self.robots,
             rnd=0, seq_start=0, next_id=0, cleanup=cleanup,
+            with_force=False,
         )
         new_rows = new_rows.coalesce(1).cache()
         n = new_rows.count()
         nb = self.config.frontier_buckets
+        final = (
+            new_rows.withColumn("bucket", self._bucket_expr(nb))
+            .withColumn("_pstatus", F.col("status"))
+        )
         self.store.commit_round(
             0, rewrites={}, appends={},
-            bucket_updates={
-                "frontier": (new_rows.withColumn("bucket", self._bucket_expr(nb)), nb)
-            },
+            bucket_updates={"frontier": (final, nb)},
             metrics={"next_id": n, "fetched": 0, "admitted": n},
         )
         for df in (new_rows, *cleanup):
@@ -191,11 +253,22 @@ class CrawlEngine:
     def enqueue(self, urls: list[str], comment: str = "manually",
                 force: bool = True) -> int:
         """Out-of-band admission (web/MainPage.java:53-70 analog).  Runs
-        as its own mini-round commit."""
+        as its own mini-round commit.  Force-requeues DELETE the moved
+        pages from the cuckoo done-table (the deletions-on-retry path
+        Bloom cannot express)."""
         cat = self.store.read_catalog()
         rnd = cat["round"]
         next_id = cat["lineage"][-1]["metrics"]["next_id"] if cat["lineage"] else 0
+        nb = self._n_buckets()
+        b = self._bucket_expr(nb)
+        migrate = self.store.bucket_sub("frontier") != "_pstatus"
         frontier = self.store.read(self.spark, "frontier")
+        fs = self._filters_state(cat, next_id)
+        bloom_df = (self.store.read(self.spark, "bloom")
+                    if fs["has_bloom"] else None)
+        done_df = (self.store.read(self.spark, "done")
+                   if fs["has_done"] else None)
+
         cand = self.spark.createDataFrame(
             [(-1, 0, i, u, comment, force) for i, u in enumerate(urls)],
             admission.CANDIDATE_SCHEMA,
@@ -205,39 +278,68 @@ class CrawlEngine:
         cleanup: list = []
         new_rows, forced = admission.admit(
             self.spark, cand, frontier, self.config, self.robots,
-            rnd=rnd + 1, seq_start=0, next_id=next_id, cleanup=cleanup,
+            rnd=rnd + 1, seq_start=0, next_id=next_id,
+            bloom_df=bloom_df, n_buckets=nb, done_df=done_df,
+            cleanup=cleanup, with_force=True,
         )
-        nb = self._n_buckets()
         new_rows = new_rows.cache()
-        n_new = new_rows.count()
         if forced is not None:
             forced = forced.cache()
-        if self.store.is_bucketed("frontier"):
-            touched = self._touched_buckets(new_rows, forced)
-            base = frontier.filter(self._bucket_expr(nb).isin(touched)) \
-                if touched else frontier.limit(0)
-        else:  # legacy single-dir frontier: migrate by writing all buckets
+
+        # one fused job: per-bucket admission counts + forced buckets
+        sides = new_rows.select(b.alias("_b"), F.lit(1).alias("_n"))
+        if forced is not None:
+            sides = sides.unionByName(
+                forced.select(b.alias("_b"), F.lit(0).alias("_n")))
+        stats = sides.groupBy("_b").agg(F.sum("_n").alias("_nn")).collect()
+        n_new = int(sum(r["_nn"] for r in stats))
+        touched = sorted(r["_b"] for r in stats)
+        new_bks = sorted(r["_b"] for r in stats if r["_nn"] > 0)
+
+        if migrate:
             base = frontier
+            touched = self.store.populated_buckets("frontier") or touched
+        else:
+            base = self.store.read_buckets(self.spark, "frontier", touched)
+        if base is None:
+            base = new_rows.limit(0)
         updated = self._apply_updates(base, None, forced)
-        final = (
+        frontier_final = (
             updated.unionByName(new_rows)
-            .withColumn("bucket", self._bucket_expr(nb))
-            .repartition(nb, F.col("bucket"))
-            .cache()
+            .withColumn("bucket", b)
+            .withColumn("_pstatus", F.col("status"))
         )
+        small = (next_id + n_new) <= self.config.small_round_rows
+        if small:
+            frontier_final = frontier_final.coalesce(1)
+        else:
+            nparts = nb if migrate else max(1, len(touched))
+            frontier_final = frontier_final.repartition(nparts, F.col("bucket"))
+
+        bucket_updates = {"frontier": (frontier_final, nb)}
+        if fs["bloom_maintain"] or fs["cuckoo_maintain"]:
+            frontier_final = frontier_final.cache()
+            cleanup.append(frontier_final)
+            bucket_updates["frontier"] = (frontier_final, nb)
+            cuckoo_changes = (
+                forced.select("url", F.lit("del").alias("op"))
+                if forced is not None else None
+            )
+            bucket_updates.update(self._filter_updates(
+                fs, bloom_df, done_df, frontier_final, nb,
+                touched, new_bks, migrate, cuckoo_changes, cleanup,
+            ))
         self.store.commit_round(
             rnd + 1, rewrites={}, appends={},
-            bucket_updates={"frontier": (final, nb)},
+            bucket_updates=bucket_updates,
             metrics={"next_id": next_id + n_new, "fetched": 0,
                      "admitted": n_new},
         )
-        final.unpersist()
         new_rows.unpersist()
         for df in cleanup:
             df.unpersist()
         if forced is not None:
             forced.unpersist()
-        self.bloom = None
         return n_new
 
     # -- status merge helper (F2-F4) --------------------------------------
@@ -298,19 +400,39 @@ class CrawlEngine:
         cat = self.store.read_catalog()
         rnd = cat["round"] + 1
         next_id = cat["lineage"][-1]["metrics"]["next_id"] if cat["lineage"] else 0
+        cfg = self.config
+        nb = self._n_buckets()
+        b = self._bucket_expr(nb)
 
-        frontier = self.store.read(self.spark, "frontier").cache()
-        if self.use_bloom and self.bloom is None:
-            # next_id == pages ever created == frontier row count
-            self._build_bloom(frontier, next_id)
-        _t = _tick("read+bloom", _t)
+        # status-pruned QUEUED read; a legacy (un-sub-partitioned or
+        # single-dir) frontier is migrated by one full rewrite
+        migrate = self.store.bucket_sub("frontier") != "_pstatus"
+        frontier_full = None
+        if migrate:
+            frontier_full = self.store.read(self.spark, "frontier")
+            queued = (frontier_full.filter(F.col("status") == "QUEUED")
+                      if frontier_full is not None else None)
+        else:
+            queued = self.store.read_status(self.spark, "frontier", "QUEUED")
+        if queued is None:
+            self.store.commit_round(
+                rnd, rewrites={}, appends={},
+                metrics={"next_id": next_id, "fetched": 0, "admitted": 0},
+            )
+            return 0
 
-        budget = self.config.max_parallel(rnd % 24)
-        queued = frontier.filter(F.col("status") == "QUEUED")
+        budget = cfg.max_parallel(rnd % 24)
         selected = scheduling.select_batch(
-            queued, self.hosts, self.config, budget
+            queued, self.hosts, cfg, budget
         ).cache()
-        k = selected.count()
+        # fused select materialization: for driver-bounded budgets the
+        # url list doubles as the count AND the fetch IN-pushdown list
+        url_list = None
+        if budget <= 1024:
+            url_list = [r.url for r in selected.select("url").collect()]
+            k = len(url_list)
+        else:
+            k = selected.count()
         _t = _tick(f"select k={k}", _t)
 
         if k == 0:
@@ -319,22 +441,20 @@ class CrawlEngine:
                 metrics={"next_id": next_id, "fetched": 0, "admitted": 0},
             )
             selected.unpersist()
-            frontier.unpersist()
             return 0
 
         # A4 fetch: broadcast the ≤K selected urls against the documents
         # table.  For driver-bounded K we additionally push the url list
         # into the scan as an IN filter — at 100 TB that turns the fetch
         # into row-group-pruned point reads (PushedFilters: In(doc_id))
-        # instead of a full scan feeding a broadcast join.
-        docs = self.spark.read.parquet(self.documents_path)
+        # instead of a full scan feeding a broadcast join.  (The
+        # K-literal IN expression is embedded in every derived plan, so
+        # it is only worth it for small point-read rounds; at cluster
+        # scale the same effect comes from runtime row-group filtering /
+        # DPP instead.)
+        docs = self._documents()
         sel = selected.select("id", "url")
-        # cap: a K-literal IN expression is embedded in every derived
-        # plan, so Catalyst analysis cost grows with K — only worth it
-        # for small point-read rounds (at cluster scale the same effect
-        # comes from runtime row-group filtering / DPP instead)
-        if k <= 1024:
-            url_list = [r.url for r in sel.select("url").collect()]
+        if url_list is not None:
             docs = docs.filter(F.col("doc_id").isin(url_list))
         matched = docs.join(
             F.broadcast(sel), docs["doc_id"] == sel["url"], "inner"
@@ -342,7 +462,7 @@ class CrawlEngine:
 
         # one cached pass over the fetch join; normal / redirect / unsafe
         # (B6 MIME gate) outcomes are cheap filters over it
-        flagged = parse.flag_docs(matched, self.config.safe_mime_types).cache()
+        flagged = parse.flag_docs(matched, cfg.safe_mime_types).cache()
         normal, redirects, unsafe = parse.split_flagged(flagged)
         if _TIMING:
             normal.count()
@@ -358,15 +478,11 @@ class CrawlEngine:
         # hop (the round's single biggest CPU cost) would run twice
         tok = parse.tokenized_spans(spans).cache()
         meta = parse.doc_meta(tok, normal).cache()
-        if _TIMING:
-            tok.count()
-            _t = _tick("tokenize+cache", _t)
         # materialize the parse caches before the (concurrent) commit
         # writes — two writer threads racing on an unmaterialized cache
         # would each compute the tokenize hop
         meta.count()
-        if _TIMING:
-            _t = _tick("meta(tokenize)", _t)
+        _t = _tick("meta(tokenize)", _t)
         idx = parse.indexable_tokens(parse.token_positions(tok))
         postings_delta = postings.build_postings(idx, meta)
         links = parse.outlinks(spans)
@@ -399,19 +515,47 @@ class CrawlEngine:
                 (F.coalesce("_out", F.lit("FAILED")) == "INDEXED").alias("set_title"),
             )
         )
+
+        # admission: sharded-Bloom prefilter + bucket-pruned confirm
+        # join once the filter tables exist; plain anti-join below the
+        # activation threshold (tiny frontiers need no prefilter)
+        fs = self._filters_state(cat, next_id)
+        bloom_df = (self.store.read(self.spark, "bloom")
+                    if fs["has_bloom"] else None)
+        reader = None
+        frontier_arg = None
+        if bloom_df is not None and not migrate:
+            reader = lambda bks: self.store.read_buckets(
+                self.spark, "frontier", bks)
+        else:
+            frontier_arg = (frontier_full if migrate
+                            else self.store.read(self.spark, "frontier"))
         cleanup: list = []
         # small rounds skip the two-pass machinery: its extra jobs
         # (range sample + stats collect) cost more than a one-partition
         # window over a few thousand candidates; the two paths assign
         # IDENTICAL ids (tests/test_admission_plan.py)
-        seq_parts = self.config.seq_partitions if k > 4096 else 1
+        seq_parts = cfg.seq_partitions if k > 4096 else 1
         new_rows, _ = admission.admit(
-            self.spark, candidates, frontier, self.config, self.robots,
-            rnd=rnd, seq_start=k + 1, next_id=next_id, bloom=self.bloom,
-            cleanup=cleanup, seq_partitions=seq_parts,
+            self.spark, candidates, frontier_arg, cfg, self.robots,
+            rnd=rnd, seq_start=k + 1, next_id=next_id,
+            bloom_df=bloom_df, n_buckets=nb, frontier_for_buckets=reader,
+            cleanup=cleanup, seq_partitions=seq_parts, with_force=False,
         )
         new_rows = new_rows.cache()
-        n_new = new_rows.count()
+        # ONE fused job: admission count + per-bucket split + the full
+        # touched-bucket set (admissions ∪ status updates) — replaces
+        # round 2's three separate actions (new count, touched-buckets
+        # collect, bloom fold-in)
+        stats = (
+            new_rows.select(b.alias("_b"), F.lit(1).alias("_n"))
+            .unionByName(selected.select(b.alias("_b"), F.lit(0).alias("_n")))
+            .groupBy("_b").agg(F.sum("_n").alias("_nn"))
+            .collect()
+        )
+        n_new = int(sum(r["_nn"] for r in stats))
+        touched = sorted(r["_b"] for r in stats)
+        new_bks = sorted(r["_b"] for r in stats if r["_nn"] > 0)
         if k + 1 + n_new >= (1 << SEQ_SHIFT):
             raise OverflowError(
                 f"round {rnd} sequence space overflow: {k + 1 + n_new} "
@@ -422,39 +566,63 @@ class CrawlEngine:
         # bucketed frontier MERGE: only buckets holding this round's
         # status updates (⊆ selected) or new admissions are re-read,
         # merged, and rewritten — untouched buckets stay immutable
-        nb = self._n_buckets()
-        if self.store.is_bucketed("frontier"):
-            touched = self._touched_buckets(selected, new_rows)
-            base = frontier.filter(self._bucket_expr(nb).isin(touched))
-        else:  # legacy single-dir frontier: migrate by writing all buckets
-            base = frontier
+        if migrate:
+            base = frontier_full
+            touched = self.store.populated_buckets("frontier") or touched
+        else:
+            base = self.store.read_buckets(self.spark, "frontier", touched)
+        if base is None:
+            base = new_rows.limit(0)
         updated = self._apply_updates(base, updates, None)
-        # repartition on bucket so each bucket dir gets ~1 file per
-        # write — otherwise the admission side (≈shuffle-partition-many
-        # small files) would accumulate into bucket dirs round over
-        # round.  The frontier-scan side is already bucket-aligned, so
-        # this shuffles only the touched buckets' rows.
         frontier_final = (
             updated.unionByName(new_rows)
-            .withColumn("bucket", self._bucket_expr(nb))
-            .repartition(nb, F.col("bucket"))
+            .withColumn("bucket", b)
+            .withColumn("_pstatus", F.col("status"))
         )
+        # tiny working sets write in ONE task (a 32-way partitioned
+        # write of 15 rows cost ~8s in round 2); big rounds spread one
+        # shuffle partition per touched bucket
+        small = (next_id + k + n_new) <= cfg.small_round_rows
+        if small:
+            frontier_final = frontier_final.coalesce(1)
+        else:
+            nparts = nb if migrate else max(1, len(touched))
+            frontier_final = frontier_final.repartition(nparts, F.col("bucket"))
+
         crawl_log = selected.select(
             F.lit(rnd).alias("round"), "rank", "url"
         )
+        if small:
+            postings_delta = postings_delta.coalesce(1)
+            crawl_log = crawl_log.coalesce(1)
+
+        bucket_updates = {"frontier": (frontier_final, nb)}
+        if fs["bloom_maintain"] or fs["cuckoo_maintain"]:
+            frontier_final = frontier_final.cache()
+            cleanup.append(frontier_final)
+            bucket_updates["frontier"] = (frontier_final, nb)
+            done_df = (self.store.read(self.spark, "done")
+                       if fs["has_done"] else None)
+            # every fetched page leaves QUEUED (INDEXED/SUCCEEDED/FAILED
+            # are all "done") → adds; crawl rounds never force-requeue,
+            # so deletes only come from enqueue()
+            cuckoo_changes = updates.select("url", F.lit("add").alias("op"))
+            bucket_updates.update(self._filter_updates(
+                fs, bloom_df, done_df, frontier_final, nb,
+                touched, new_bks, migrate, cuckoo_changes, cleanup,
+            ))
 
         self.store.commit_round(
             rnd,
             rewrites={},
             appends={"postings": postings_delta, "crawl_log": crawl_log},
-            bucket_updates={"frontier": (frontier_final, nb)},
+            bucket_updates=bucket_updates,
             metrics={"next_id": next_id + n_new, "fetched": k,
                      "admitted": n_new},
         )
         _t = _tick("commit", _t)
-        self._bloom_add(new_rows, n_new)
-        _t = _tick("bloom_add", _t)
-        for df in (frontier, selected, flagged, spans, tok, meta,
+        self._maybe_compact()
+        for df in (selected, flagged, spans, tok, meta,
                    new_rows, *cleanup):
             df.unpersist()
         return k

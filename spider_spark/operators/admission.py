@@ -6,8 +6,10 @@ Candidates flow through, in reference order:
   B2 keyword badlist (substring)
   B3 canonicalization (USK-rule graft; vectorized Arrow UDF)
   robots gating (graft axis B; prefix test on the canonical path)
-  B4 dedup against the frontier (Bloom prefilter + exact left_anti)
-  B5 force-requeue of existing non-QUEUED pages
+  B4 dedup against the frontier (sharded-Bloom prefilter + exact
+     left_anti over only the maybe-seen rows' buckets)
+  B5 force-requeue of existing non-QUEUED pages (cuckoo done-filter
+     prefilter when available — it supports the deletions B5 implies)
   F1 get-or-create: new rows enter QUEUED with deterministic id/seq
 
 Deterministic admission order: candidates sorted by
@@ -22,19 +24,26 @@ Scale notes (10^10 frontier):
     row_number — the same total order as a global window with NO
     single-partition exchange, so a 10^7-candidate round fans across
     the cluster instead of funnelling through one task.
-  * the anti-join against the frontier is the big join: frontier side is
-    bucketed by url; the Bloom prefilter short-circuits the (dominant)
-    definitely-new candidates so only maybe-seen rows shuffle.
+  * the exact anti-join never sees the full frontier: the per-bucket
+    Bloom probe (operators/seenfilter.py) short-circuits the (dominant)
+    definitely-new candidates, and the confirm join reads ONLY the
+    frontier buckets that still hold maybe-seen rows
+    (``frontier_for_buckets``) — at 10^10 rows the frontier side of the
+    join shrinks from ~TBs to the touched buckets' files.
+  * the probe result ``_maybe`` is computed INTO the cached candidate
+    set, so the probe cogroup runs once no matter how many admission
+    branches (hit / anti-join / forced / new) consume it.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..config import SEQ_SHIFT, CrawlConfig
-from ..functions.filters import BloomFilter
 from ..functions.udfs import (
     badlist_extension_regex,
     canonicalize_udf,
@@ -42,6 +51,7 @@ from ..functions.udfs import (
     host_udf,
     url_path,
 )
+from . import seenfilter
 
 CANDIDATE_SCHEMA = (
     "discoverer_id long, span_offset int, ordinal int, "
@@ -93,38 +103,6 @@ def filter_and_canonicalize(
     return out
 
 
-def split_by_bloom(candidates: DataFrame, bloom: BloomFilter | None,
-                   spark: SparkSession) -> tuple[DataFrame, DataFrame]:
-    """Bloom prefilter (SURVEY §2 B4): rows the filter says are
-    definitely-new skip the exact anti-join entirely; maybe-seen rows
-    go on to exact confirmation.  Returns (maybe_seen, definitely_new)."""
-    if bloom is None:
-        return candidates, None
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import BooleanType
-
-    bc = spark.sparkContext.broadcast(bloom)
-
-    def _probe(h1, h2):
-        import numpy as np
-        import pandas as pd
-        ok = bc.value.contains_hash_arrays(
-            h1.to_numpy().view(np.uint64), h2.to_numpy().view(np.uint64))
-        return pd.Series(ok)
-
-    bloom_probe = pandas_udf(_probe, BooleanType())
-
-    # hashes computed JVM-side; the probe itself is whole-array numpy
-    flagged = candidates.withColumn(
-        "_maybe",
-        bloom_probe(F.xxhash64("url"), F.xxhash64("url", F.lit(1))),
-    )
-    return (
-        flagged.filter(F.col("_maybe")).drop("_maybe"),
-        flagged.filter(~F.col("_maybe")).drop("_maybe"),
-    )
-
-
 def admit(
     spark: SparkSession,
     candidates: DataFrame,
@@ -134,38 +112,91 @@ def admit(
     rnd: int,
     seq_start: int,
     next_id: int,
-    bloom: BloomFilter | None = None,
+    bloom_df: DataFrame | None = None,
+    n_buckets: int | None = None,
+    done_df: DataFrame | None = None,
+    frontier_for_buckets: Callable[[list[int]], DataFrame | None] | None = None,
     cleanup: list | None = None,
     seq_partitions: int | None = None,
+    with_force: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full admission pipeline.
+
+    Dedup sources, strongest available wins per row:
+      * ``bloom_df`` (sharded per-bucket Bloom table) marks rows
+        ``_maybe`` — definitely-new rows skip the exact join entirely
+      * the exact confirm join runs against ``frontier`` OR, when
+        ``frontier_for_buckets`` is given, against only the buckets
+        that hold maybe-seen rows (one tiny distinct-buckets job)
+    ``with_force=False`` (crawl rounds: outlinks never carry force)
+    skips the force-requeue machinery — its hit-join and union would
+    otherwise run per round just to produce zero rows.  ``done_df``
+    (per-bucket cuckoo of non-QUEUED pages) prefilters which forced
+    candidates need the exact status-confirm join.
 
     Returns (new_frontier_rows, forced_updates) where forced_updates has
     columns (url, comment, last_change) for existing non-QUEUED pages
     being force-requeued (Spider.java:185-188)."""
     cand = filter_and_canonicalize(candidates, config, robots)
+    dedup_possible = frontier is not None or frontier_for_buckets is not None
+    if bloom_df is not None and dedup_possible:
+        cand = seenfilter.probe_blooms(cand, bloom_df, n_buckets)
+    else:
+        cand = cand.withColumn("_maybe", F.lit(True))
     ordkey = F.struct("discoverer_id", "span_offset", "ordinal", "raw_url")
     # cache: the admission DAG fans out into several branches
-    # (bloom-split, hit/anti-join, forced, new_urls) — without this the
-    # expensive upstream (link extraction + canonicalize UDFs) would be
-    # recomputed once per branch
+    # (maybe/definitely-new, hit/anti-join, forced, new_urls) — without
+    # this the expensive upstream (link extraction + canonicalize UDFs
+    # + the Bloom probe cogroup) would recompute once per branch
     cand = cand.withColumn("_ord", ordkey).cache()
     if cleanup is not None:
         cleanup.append(cand)  # caller unpersists after materializing
 
-    if frontier is not None:
-        maybe, definitely_new = split_by_bloom(cand, bloom, spark)
-        existing = frontier.select("url", F.col("status").alias("_ex_status"))
-        hit = maybe.join(existing, "url", "inner")
-        new_cand = maybe.join(existing, "url", "left_anti")
+    if dedup_possible:
+        maybe = cand.filter("_maybe")
+        definitely_new = (
+            cand.filter(~F.col("_maybe")) if bloom_df is not None else None
+        )
+        if frontier_for_buckets is not None:
+            # bucket-pruned confirm join: list the buckets that still
+            # hold maybe rows (tiny job — ≤ n_buckets ints), read only
+            # those frontier dirs.  Only taken on the sharded-filter
+            # path, where maybe ≪ candidates.
+            bks = [
+                r["b"] for r in maybe.select(
+                    seenfilter.bucket_of(F.col("url"), n_buckets).alias("b")
+                ).distinct().collect()
+            ]
+            existing_src = frontier_for_buckets(bks) if bks else None
+        else:
+            existing_src = frontier
+        if existing_src is not None:
+            existing = existing_src.select(
+                "url", F.col("status").alias("_ex_status"))
+            new_cand = maybe.join(existing, "url", "left_anti")
+        else:
+            existing = None
+            new_cand = maybe
         if definitely_new is not None:
             new_cand = new_cand.unionByName(definitely_new)
-        forced = (
-            hit.filter(F.col("force") & (F.col("_ex_status") != "QUEUED"))
-            .groupBy("url")
-            .agg(F.min("_ord").alias("_ord"),
-                 F.min_by("comment", "_ord").alias("comment"))
-        )
+        if with_force and existing is not None:
+            forceable = cand.filter("force")
+            if done_df is not None:
+                # cuckoo prefilter: only urls in the done (non-QUEUED)
+                # set can be force-requeued; no false negatives, so the
+                # prune is exact-safe ahead of the confirm join
+                forceable = seenfilter.probe_cuckoos(
+                    forceable, done_df, n_buckets).filter("_in_done") \
+                    .drop("_in_done")
+            hit = forceable.join(existing, "url", "inner")
+            forced = (
+                hit.filter(F.col("_ex_status") != "QUEUED")
+                .groupBy("url")
+                .agg(F.min("_ord").alias("_ord"),
+                     F.min_by("comment", "_ord").alias("comment"))
+            )
+        else:
+            forced = None
     else:
         new_cand = cand
         forced = None

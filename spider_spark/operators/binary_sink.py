@@ -66,6 +66,15 @@ def _write_java_utf(out: io.BytesIO, s: str) -> None:
 def encode_entry(term: str, doc_id: str, rel: float, title: str | None,
                  positions: list[int],
                  pos_fragments: dict[int, str] | None = None) -> bytes:
+    """Byte-parity note (fragment-bearing entries): the reference's
+    TermEntryWriter iterates positionsMap().entrySet() — HashMap
+    iteration order — while this writer walks the sorted ``positions``
+    list and looks each fragment up.  Spider itself never populates
+    posFragments (TermPageEntry.java:33), so every entry it produces is
+    byte-identical here; an entry that DOES carry fragments matches the
+    reference content-wise (same position→fragment pairs) but not
+    necessarily in the reference's hash order, which is
+    JVM-capacity-dependent and not a stable contract to mirror."""
     out = io.BytesIO()
     out.write(struct.pack(">q", SERIAL_VERSION_UID - (1 << 64)
                           if SERIAL_VERSION_UID >= (1 << 63) else SERIAL_VERSION_UID))

@@ -528,9 +528,12 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprints (rows-only: FNV rolling hash)."""
+    """Content fingerprints (rows-only): 63-bit xxhash64 over the
+    whitespace-normalized text — one JVM expression, whole-stage
+    codegen, no Python (VERDICT r2 item 5)."""
     d = _load(spark, sf_dir, "documents")
-    return d.select("doc_id", text.fingerprint_udf(F.col("text")).alias("fingerprint"))
+    return d.select(
+        "doc_id", text.fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,15 +15,27 @@ Mechanics:
     tables), → ordered list of segment dirs (append tables), or →
     per-bucket current dirs (bucketed tables: the frontier, hashed by
     ``pmod(url_hash, n_buckets)``).  A bucketed commit writes ONLY the
-    touched buckets (one ``partitionBy("bucket")`` job) and re-points
-    just those entries — untouched buckets keep their immutable dirs,
-    so commit cost scales with the round's update volume, not the
-    frontier size (the Iceberg MERGE-on-read analog; at 10^10 URLs this
-    is the difference between rewriting ~GBs and rewriting ~TBs per
-    round)
+    touched buckets (one ``partitionBy`` job) and re-points just those
+    entries — untouched buckets keep their immutable dirs, so commit
+    cost scales with the round's update volume, not the frontier size
+    (the Iceberg MERGE-on-read analog; at 10^10 URLs this is the
+    difference between rewriting ~GBs and rewriting ~TBs per round)
+  * a bucketed table may additionally be SUB-PARTITIONED by a second
+    column (the frontier uses ``_pstatus``, a copy of ``status``): each
+    bucket dir then holds ``_pstatus=QUEUED/ _pstatus=INDEXED/ ...``
+    leaf dirs, and ``read_status`` lists only the matching leaves.
+    This is the analog of PerstRoot's five per-status B-trees
+    (db/PerstRoot.java:33-37): the round's QUEUED scan prunes to the
+    queued files instead of reading the whole frontier — at 10^10 rows
+    that is the difference between scanning ~10^5-row files and ~TBs.
   * commit = write all new dirs, then ``os.replace`` the catalog —
     the one atomic step.  A crash before the replace leaves the old
     catalog intact; orphan dirs are ignored.
+  * append tables are COMPACTED when their segment list grows past a
+    threshold (``compact``): all current segments merge into one rollup
+    dir via a normal commit, so a 10^4-round crawl does not end up with
+    a 10^4-dir ``postings`` read (the LibraryBuffer flush/merge analog,
+    LibraryBuffer.java:160-188; on Iceberg this is rewrite_data_files).
   * per-round lineage records (FIXTURES.md §6) ride inside the catalog
     (capped to the most recent ``LINEAGE_KEEP`` entries, with cumulative
     ``totals`` rolled up so the catalog stays O(1) over rounds) and in
@@ -35,7 +47,8 @@ Mechanics:
 
 On a real cluster this maps 1:1 onto Iceberg: rewrite tables →
 copy-on-write MERGE, append tables → snapshot append, the catalog swap →
-Iceberg's atomic metadata pointer swap.
+Iceberg's atomic metadata pointer swap, the existence checks below →
+manifest-file lookups (no filesystem listing on the hot path).
 """
 
 from __future__ import annotations
@@ -84,13 +97,23 @@ class SnapshotStore:
     # -- reads -------------------------------------------------------------
 
     def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        """Current contents, or None for a missing/empty table (an empty
+        bucketed commit — e.g. a bootstrap over an empty seed list —
+        legitimately produces a buckets entry with no dirs)."""
         cat = self.read_catalog()
         if table in cat["tables"]:
             return spark.read.parquet(os.path.join(self.root, cat["tables"][table]))
         bucketed = cat.get("buckets", {}).get(table)
-        if bucketed:
+        if bucketed is not None:
             paths = [os.path.join(self.root, p) for p in bucketed["dirs"].values()]
-            return spark.read.parquet(*paths)
+            if not paths:
+                return None
+            # recursiveFileLookup: bucket dirs may contain sub-partition
+            # (``_pstatus=...``) leaf dirs; partition-column inference
+            # over many partition-named roots conflicts, and we prune at
+            # the path level ourselves (status stays a data column)
+            return (spark.read.option("recursiveFileLookup", "true")
+                    .parquet(*paths))
         segs = cat["appends"].get(table)
         if segs:
             return spark.read.parquet(*[os.path.join(self.root, s) for s in segs])
@@ -112,7 +135,31 @@ class SnapshotStore:
         ]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return (spark.read.option("recursiveFileLookup", "true")
+                .parquet(*paths))
+
+    def read_status(
+        self, spark: SparkSession, table: str, value: str
+    ) -> DataFrame | None:
+        """Status-pruned read of a sub-partitioned bucketed table: lists
+        only the ``<sub>=<value>`` leaf dirs, so e.g. the per-round
+        QUEUED scan never opens a non-queued file (PerstRoot's
+        per-status B-trees, db/PerstRoot.java:33-37).  On Iceberg the
+        same pruning comes from the partition spec + manifest filters."""
+        cat = self.read_catalog()
+        bucketed = cat.get("buckets", {}).get(table)
+        if not bucketed or not bucketed.get("sub"):
+            return None
+        sub = bucketed["sub"]
+        paths = []
+        for rel in bucketed["dirs"].values():
+            leaf = os.path.join(self.root, rel, f"{sub}={value}")
+            if os.path.isdir(leaf):
+                paths.append(leaf)
+        if not paths:
+            return None
+        return (spark.read.option("recursiveFileLookup", "true")
+                .parquet(*paths))
 
     def is_bucketed(self, table: str) -> bool:
         return table in self.read_catalog().get("buckets", {})
@@ -120,6 +167,15 @@ class SnapshotStore:
     def bucket_count(self, table: str) -> int | None:
         b = self.read_catalog().get("buckets", {}).get(table)
         return b["n"] if b else None
+
+    def bucket_sub(self, table: str) -> str | None:
+        """The sub-partition column of a bucketed table, if any."""
+        b = self.read_catalog().get("buckets", {}).get(table)
+        return b.get("sub") if b else None
+
+    def populated_buckets(self, table: str) -> list[int]:
+        b = self.read_catalog().get("buckets", {}).get(table)
+        return sorted(int(k) for k in b["dirs"]) if b else []
 
     def exists(self, table: str) -> bool:
         cat = self.read_catalog()
@@ -146,12 +202,16 @@ class SnapshotStore:
         ``bucket_updates`` maps table -> (df, n_buckets) where df holds
         the full new contents of ONLY the touched buckets and carries an
         int ``bucket`` column — one partitioned write re-points just
-        those buckets (Iceberg partition-overwrite analog)."""
+        those buckets (Iceberg partition-overwrite analog).  If df also
+        carries a ``_pstatus`` column the write sub-partitions each
+        bucket by it (status-pruned layout; a table switching layouts
+        must rewrite ALL of its current buckets in that commit)."""
         cat = self.read_catalog()
         new_tables = dict(cat["tables"])
         new_appends = {k: list(v) for k, v in cat["appends"].items()}
         new_buckets = {
-            t: {"n": b["n"], "dirs": dict(b["dirs"])}
+            t: {k: (dict(v) if isinstance(v, dict) else v)
+                for k, v in b.items()}
             for t, b in cat.get("buckets", {}).items()
         }
 
@@ -177,7 +237,10 @@ class SnapshotStore:
             t0 = time.time()
             w = df.write.mode("overwrite")
             if kind == "bucket":
-                w = w.partitionBy("bucket")
+                cols = ["bucket"]
+                if "_pstatus" in df.columns:
+                    cols.append("_pstatus")
+                w = w.partitionBy(*cols)
             w.parquet(os.path.join(self.root, rel))
             if os.environ.get("SPIDER_TIMING", "") == "1":
                 import sys
@@ -190,18 +253,38 @@ class SnapshotStore:
         else:
             for job in jobs:
                 _write(job)
-        for table, rel, _, kind in jobs:
+        for table, rel, df, kind in jobs:
             if kind == "rewrite":
                 new_tables[table] = rel
             elif kind == "append":
                 new_appends.setdefault(table, []).append(rel)
             else:  # bucket: re-point only the buckets the write produced
+                sub = "_pstatus" if "_pstatus" in df.columns else None
                 ent = new_buckets.setdefault(
                     table, {"n": bucket_updates[table][1], "dirs": {}})
+                prev_sub = ent.get("sub")
                 out_dir = os.path.join(self.root, rel)
-                for sub in os.listdir(out_dir):
-                    if sub.startswith("bucket="):
-                        ent["dirs"][sub.split("=", 1)[1]] = f"{rel}/{sub}"
+                written = set()
+                if os.path.isdir(out_dir):
+                    for d in os.listdir(out_dir):
+                        if d.startswith("bucket="):
+                            written.add(d.split("=", 1)[1])
+                            ent["dirs"][d.split("=", 1)[1]] = f"{rel}/{d}"
+                if prev_sub != sub:
+                    # layout change: every surviving dir must come from
+                    # THIS write, or reads would mix flat and
+                    # sub-partitioned dirs (partition-discovery conflict)
+                    stale = set(ent["dirs"]) - written
+                    if stale:
+                        raise ValueError(
+                            f"{table}: sub-partition layout changed to "
+                            f"{sub!r} but buckets {sorted(stale)} were not "
+                            "rewritten — a layout migration must rewrite "
+                            "all current buckets")
+                if sub:
+                    ent["sub"] = sub
+                else:
+                    ent.pop("sub", None)
                 new_tables.pop(table, None)  # supersedes any legacy version
 
         entry = {
@@ -230,6 +313,35 @@ class SnapshotStore:
         })
 
     # -- maintenance -------------------------------------------------------
+
+    def compact_appends(
+        self, spark: SparkSession, table: str, min_segments: int = 2,
+        target_partitions: int | None = None,
+    ) -> bool:
+        """Merge ALL of an append table's segments into one rollup dir
+        and atomically re-point the catalog (LibraryBuffer.java:160-188
+        flush/merge analog; Iceberg rewrite_data_files).  Bounded read
+        amplification: with the engine triggering at ``K`` segments,
+        each row is rewritten once per K rounds.  Returns True if a
+        compaction ran.  Readers of the OLD catalog keep working (their
+        dirs stay on disk until gc_orphans)."""
+        cat = self.read_catalog()
+        segs = cat["appends"].get(table, [])
+        if len(segs) < min_segments:
+            return False
+        df = spark.read.parquet(*[os.path.join(self.root, s) for s in segs])
+        if target_partitions:
+            df = df.coalesce(target_partitions)
+        rel = f"{table}/rollup-{cat['round']:06d}-{len(segs)}"
+        df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        # re-read the catalog: a concurrent round may have appended a
+        # NEW segment while the rollup wrote — keep any tail segments
+        # beyond the ones we merged
+        cat2 = self.read_catalog()
+        tail = [s for s in cat2["appends"].get(table, []) if s not in segs]
+        cat2["appends"][table] = [rel] + tail
+        self._swap_catalog(cat2)
+        return True
 
     def gc_orphans(self) -> list[str]:
         """Remove snapshot dirs not referenced by the catalog (post-crash

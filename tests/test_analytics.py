@@ -149,14 +149,23 @@ def test_lang_id(docs, spark):
 
 def test_fingerprint_stability(docs, spark):
     a = {r["doc_id"]: r["fp"] for r in docs.withColumn(
-        "fp", text.fingerprint_udf(F.col("text"))).collect()}
+        "fp", text.fingerprint_col(F.col("text")).alias("fp")).collect()}
     b = {r["doc_id"]: r["fp"] for r in docs.withColumn(
-        "fp", text.fingerprint_udf(F.col("text"))).collect()}
+        "fp", text.fingerprint_col(F.col("text")).alias("fp")).collect()}
     assert a == b
     assert a[1] == a[2]            # identical text → identical fp
     assert a[1] != a[3]
     # whitespace-normalization invariance
     assert text.doc_fingerprint("hello   world") == text.doc_fingerprint("hello world")
+    # the driver-side scalar twin matches Spark's JVM expression exactly
+    texts = [r["text"] for r in docs.select("text").collect()]
+    spark_fps = [r["fp"] for r in docs.withColumn(
+        "fp", text.fingerprint_col(F.col("text")).alias("fp")).collect()]
+    assert spark_fps == [text.doc_fingerprint(t) for t in texts]
+    # no Python stage in the plan: the fingerprint is pure codegen
+    plan = docs.select(text.fingerprint_col(F.col("text")).alias("fp")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
 
 
 def test_multimodal_codecs_roundtrip():
@@ -182,12 +191,30 @@ def test_multimodal_codecs_roundtrip():
 
 
 def test_multimodal_rejects_garbage():
+    import struct as _struct
+
     import pytest as _pytest
 
     for fn in (multimodal.decode_bmp, multimodal.decode_wav,
                multimodal.demux_video):
         with _pytest.raises(ValueError):
             fn(b"not a media payload")
+
+    # truncated payloads that PASS the magic check must still raise
+    # ValueError (the drop-bad-payloads contract), never struct.error
+    truncated = [
+        (multimodal.demux_video, b"VID0"),
+        (multimodal.demux_video, b"VID0" + _struct.pack("<I", 3)),
+        (multimodal.demux_video,
+         b"VID0" + _struct.pack("<I", 1) + _struct.pack("<I", 999) + b"xx"),
+        (multimodal.decode_wav,
+         b"RIFF" + _struct.pack("<I", 20) + b"WAVE"
+         + b"fmt " + _struct.pack("<I", 16) + b"\x01\x00"),  # short fmt body
+        (multimodal.decode_bmp, b"BM" + b"\x00" * 52),  # 54B, bad fields
+    ]
+    for fn, payload in truncated:
+        with _pytest.raises(ValueError):
+            fn(payload)
 
 
 def test_multimodal_plumbing(spark):
