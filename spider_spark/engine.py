@@ -644,9 +644,36 @@ class CrawlEngine:
     def crawl_log(self) -> DataFrame | None:
         return self.store.read(self.spark, "crawl_log")
 
-    def status_counts(self) -> DataFrame:
-        """UI status summary (web/MainPage.java:122-131 analog)."""
-        return scheduling.status_counts(self.frontier())
+    def status_counts(self, include_not_pushed: bool = True) -> DataFrame:
+        """UI status summary (web/MainPage.java:122-131 analog).
+
+        NOT_PUSHED fidelity (db/Status.java:7-11): pages fetched by a
+        TORN round — outputs durably written, catalog not yet swapped
+        (store.pending_round()) — are the reference's NOT_PUSHED set.
+        They still read QUEUED in the committed frontier, so the view
+        moves them to a NOT_PUSHED row; replaying the round (the
+        NOT_PUSHED→QUEUED recovery rule, LibraryBuffer.java:97-102)
+        closes the window and the row disappears."""
+        counts = scheduling.status_counts(self.frontier())
+        pending = self.store.pending_round() if include_not_pushed else None
+        if not pending:
+            return counts
+        log_dir = next(
+            (d for d in pending["dirs"] if d.startswith("crawl_log/")), None)
+        if log_dir is None:
+            return counts
+        n_np = self.spark.read.parquet(
+            os.path.join(self.store.root, log_dir)).count()
+        if n_np == 0:
+            return counts
+        rows = [(r["status"], r["n"]) for r in counts.collect()]
+        adjusted = [
+            (s, n - n_np if s == "QUEUED" else n) for s, n in rows
+        ]
+        adjusted = [(s, n) for s, n in adjusted if n > 0]
+        adjusted.append(("NOT_PUSHED", n_np))
+        return self.spark.createDataFrame(
+            sorted(adjusted), "status string, n long")
 
     def top_pages(self, n: int | None = None) -> DataFrame:
         """UI top-N per status in lastChange order, default

@@ -62,6 +62,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 CATALOG = "_catalog.json"
+PENDING = "_pending.json"
 LINEAGE_LOG = "lineage.jsonl"
 LINEAGE_KEEP = 64  # catalog keeps this many recent entries; totals roll up
 
@@ -287,6 +288,23 @@ class SnapshotStore:
                     ent.pop("sub", None)
                 new_tables.pop(table, None)  # supersedes any legacy version
 
+        # phase-1 marker (NOT_PUSHED fidelity, db/Status.java:7-11 +
+        # LibraryBuffer.java:97-102): every round output is now durably
+        # on disk but the catalog still points at the previous round —
+        # the exact window where the reference holds pages NOT_PUSHED.
+        # A crash here leaves the marker + orphan dirs; the replayed
+        # round overwrites both.  Observers (status_counts) surface the
+        # window as a NOT_PUSHED row; the swap below closes it.
+        pending = {
+            "round": rnd,
+            "dirs": [rel for _, rel, _, _ in jobs],
+            "metrics": metrics or {},
+        }
+        ptmp = os.path.join(self.root, PENDING + ".tmp")
+        with open(ptmp, "w") as f:
+            json.dump(pending, f)
+        os.replace(ptmp, os.path.join(self.root, PENDING))
+
         entry = {
             "round": rnd,
             "tables": sorted(list(rewrites) + list(appends)),
@@ -311,6 +329,31 @@ class SnapshotStore:
             "lineage": lineage[-LINEAGE_KEEP:],
             "totals": totals,
         })
+        # phase 2 complete: the NOT_PUSHED window is closed.  A crash
+        # BETWEEN the swap and this unlink leaves a marker whose round
+        # equals the committed round — pending_round() ignores it.
+        try:
+            os.unlink(os.path.join(self.root, PENDING))
+        except FileNotFoundError:
+            pass
+
+    def pending_round(self) -> dict[str, Any] | None:
+        """The phase-1 marker of a torn commit, if one is open: round
+        outputs written durably but not yet visible in the catalog (the
+        reference's NOT_PUSHED state).  Returns None when the marker is
+        stale (its round already committed — crash between swap and
+        marker unlink) or its dirs are gone (gc'd)."""
+        p = os.path.join(self.root, PENDING)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            pending = json.load(f)
+        if pending["round"] <= self.read_catalog()["round"]:
+            return None
+        if not all(os.path.isdir(os.path.join(self.root, d))
+                   for d in pending["dirs"]):
+            return None
+        return pending
 
     # -- maintenance -------------------------------------------------------
 
