@@ -124,8 +124,18 @@ def main() -> None:
     # warm-up round: JIT, UDF worker pools, shuffle service — excluded
     # from the measured window on both runs identically
     eng.run_round()
+    # per-round wall times: single-host noise arrives as multi-second
+    # asymmetric spikes (see BENCH.md forensics), so alongside the
+    # whole-window number we report per-round throughput — the minimum
+    # round is the least-interfered equal-window sample (identical
+    # work per round: dense seeds keep every round at full budget)
+    round_secs = []
     t0 = time.time()
-    fetched = eng.run(rounds)
+    fetched = 0
+    for _ in range(rounds):
+        rt = time.time()
+        fetched += eng.run_round()
+        round_secs.append(round(time.time() - rt, 2))
     secs = time.time() - t0
     postings = eng.postings().count()
     print(json.dumps({
@@ -136,6 +146,8 @@ def main() -> None:
         "fetched": fetched,
         "seconds": round(secs, 2),
         "urls_per_sec": round(fetched / secs, 2),
+        "round_secs": round_secs,
+        "best_round_urls_per_sec": round((fetched / rounds) / min(round_secs), 2),
         "postings": postings,
     }))
     spark.stop()

@@ -62,7 +62,12 @@ class BloomFilter:
     def add_hash_arrays(self, h1: np.ndarray, h2: np.ndarray) -> None:
         """Set bits for a batch of pre-hashed keys.  h1/h2 are uint64
         views of JVM-side xxhash64 values; everything here is whole-array
-        numpy — no per-row Python."""
+        numpy — no per-row Python.
+
+        ``np.bitwise_or.at`` was once the textbook slow path (unbuffered
+        ufunc), but on this numpy it is the FASTEST option — measured
+        0.23s vs 3.06s for a sort+``reduceat`` merge at 1M keys (k=7),
+        so the scatter-OR stays."""
         h1 = np.ascontiguousarray(h1, dtype=np.uint64)
         h2 = np.ascontiguousarray(h2, dtype=np.uint64) | np.uint64(1)  # odd stride
         m = np.uint64(self.m)
