@@ -143,6 +143,7 @@ class CrawlEngine:
         migrate: bool,
         cuckoo_changes: DataFrame | None,
         cleanup: list,
+        new_rows: DataFrame | None = None,
     ) -> dict[str, tuple[DataFrame, int]]:
         """Bucket-table updates for the Bloom and cuckoo filters, to be
         committed atomically with the frontier.  ``frontier_final``
@@ -170,17 +171,30 @@ class CrawlEngine:
 
         if fs["bloom_maintain"]:
             if bloom_df is None:
-                src = full_rows.select("url")
-            elif new_bks:
-                src = frontier_final.filter(b.isin(new_bks)).select("url")
-            else:
-                src = None
-            if src is not None:
                 out["bloom"] = (
-                    seenfilter.build_bucket_blooms(src, nb, cfg.bloom_bits_per_key)
+                    seenfilter.build_bucket_blooms(
+                        full_rows.select("url"), nb, cfg.bloom_bits_per_key)
                     .withColumn("bucket", F.col("bkt")),
                     nb,
                 )
+            elif new_bks and new_rows is not None:
+                # incremental: OR only the NEW urls into their buckets'
+                # filters — O(n_new), never O(bucket rows).  A bucket
+                # over its sized capacity rebuilds from its merged
+                # frontier rows (rare; one tiny flag collect)
+                upd = seenfilter.update_bucket_blooms(
+                    new_rows.select("url"), bloom_df, nb,
+                    cfg.bloom_bits_per_key).cache()
+                cleanup.append(upd)
+                over = [r["bkt"] for r in
+                        upd.filter("overflow").select("bkt").collect()]
+                if over:
+                    rebuilt = seenfilter.build_bucket_blooms(
+                        frontier_final.filter(b.isin(over)).select("url"),
+                        nb, cfg.bloom_bits_per_key)
+                    upd = upd.filter(~F.col("bkt").isin(over)) \
+                             .unionByName(rebuilt)
+                out["bloom"] = (upd.withColumn("bucket", F.col("bkt")), nb)
 
         if fs["cuckoo_maintain"]:
             if done_df is None:
@@ -325,9 +339,11 @@ class CrawlEngine:
                 forced.select("url", F.lit("del").alias("op"))
                 if forced is not None else None
             )
+            frontier_final.count()  # materialize before concurrent writers
             bucket_updates.update(self._filter_updates(
                 fs, bloom_df, done_df, frontier_final, nb,
                 touched, new_bks, migrate, cuckoo_changes, cleanup,
+                new_rows=new_rows,
             ))
         self.store.commit_round(
             rnd + 1, rewrites={}, appends={},
@@ -607,9 +623,16 @@ class CrawlEngine:
             # are all "done") → adds; crawl rounds never force-requeue,
             # so deletes only come from enqueue()
             cuckoo_changes = updates.select("url", F.lit("add").alias("op"))
+            # materialize the cached merge ONCE before anything fans
+            # out: the concurrent commit writers and the filter-update
+            # DAGs would otherwise race on the unmaterialized cache and
+            # EACH recompute the base-read + merge (observed as every
+            # writer taking the long pole's wall time)
+            frontier_final.count()
             bucket_updates.update(self._filter_updates(
                 fs, bloom_df, done_df, frontier_final, nb,
                 touched, new_bks, migrate, cuckoo_changes, cleanup,
+                new_rows=new_rows,
             ))
 
         self.store.commit_round(

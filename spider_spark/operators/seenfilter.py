@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from ..functions.filters import BloomFilter, CuckooFilter
 
-BLOOM_SCHEMA = "bkt int, n long, m long, k int, bits binary"
+BLOOM_SCHEMA = "bkt int, n long, m long, k int, overflow boolean, bits binary"
 CUCKOO_SCHEMA = "bkt int, n long, nb long, kick long, overflow boolean, table binary"
 
 
@@ -81,10 +81,61 @@ def build_bucket_blooms(urls: DataFrame, nb: int, bits_per_key: int) -> DataFram
         )
         return pd.DataFrame({
             "bkt": [int(pdf["bkt"].iloc[0])], "n": [n],
-            "m": [bf.m], "k": [bf.k], "bits": [bf.bits.tobytes()],
+            "m": [bf.m], "k": [bf.k], "overflow": [False],
+            "bits": [bf.bits.tobytes()],
         })
 
     return hashed.groupBy("bkt").applyInPandas(build, BLOOM_SCHEMA)
+
+
+def update_bucket_blooms(new_urls: DataFrame, bloom_df: DataFrame,
+                         nb: int, bits_per_key: int) -> DataFrame:
+    """Fold a round's NEW urls into the existing per-bucket filters —
+    O(n_new) per round, not O(bucket rows).  URLs are never deleted
+    from the seen set, so incremental OR is exact; a bucket whose key
+    count would exceed its sized capacity comes back with
+    ``overflow=true`` (bits unchanged) and the engine rebuilds it from
+    the bucket's merged frontier rows (rare: capacity is 4x at build).
+    Buckets with no filter row yet build fresh from the new urls."""
+    left = new_urls.select(bucket_of(F.col("url"), nb).alias("bkt"),
+                           *_hash_pair(new_urls))
+
+    def upd(left_pdf: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        if len(left_pdf) == 0:
+            return pd.DataFrame(
+                {c: [] for c in ("bkt", "n", "m", "k", "overflow", "bits")})
+        bkt = int(left_pdf["bkt"].iloc[0])
+        h1 = left_pdf["_h1"].to_numpy().view(np.uint64)
+        h2 = left_pdf["_h2"].to_numpy().view(np.uint64)
+        if len(right_pdf) == 0:
+            bf = BloomFilter(max(1024, 4 * len(left_pdf)), bits_per_key)
+            bf.add_hash_arrays(h1, h2)
+            n, overflow = len(left_pdf), False
+        else:
+            r = right_pdf.iloc[0]
+            n = int(r["n"]) + len(left_pdf)
+            bf = BloomFilter.__new__(BloomFilter)
+            bf.m, bf.k = int(r["m"]), int(r["k"])
+            if n * bits_per_key > bf.m:
+                # capacity exceeded: signal rebuild, keep old bits
+                return pd.DataFrame({
+                    "bkt": [bkt], "n": [int(r["n"])], "m": [bf.m],
+                    "k": [bf.k], "overflow": [True], "bits": [r["bits"]],
+                })
+            bf.bits = np.frombuffer(r["bits"], dtype=np.uint64).copy()
+            bf.add_hash_arrays(h1, h2)
+            overflow = False
+        return pd.DataFrame({
+            "bkt": [bkt], "n": [n], "m": [bf.m], "k": [bf.k],
+            "overflow": [overflow], "bits": [bf.bits.tobytes()],
+        })
+
+    return (
+        left.groupBy("bkt")
+        .cogroup(bloom_df.groupBy("bkt"))
+        .applyInPandas(lambda lp, rp: upd(lp, rp), BLOOM_SCHEMA)
+    )
 
 
 def probe_blooms(cand: DataFrame, bloom_df: DataFrame, nb: int) -> DataFrame:
