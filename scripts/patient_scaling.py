@@ -1,0 +1,130 @@
+"""Patient N-vs-4N scaling runner: only measures in QUIET host windows.
+
+The sandbox host's hypervisor interference comes and goes (steal probes
+recorded from 0.2% to 15.5% within hours; identical rounds swing 3-6x).
+`run_scaling.py` measures whenever invoked; this wrapper instead loops:
+probe steal with an 8s all-core spin → if above the gate, sleep and
+retry; if quiet, immediately run one back-to-back local[7]/local[28]
+worker pair (same corpus, same seeds, same plans, equal 2-round
+measured windows, warm-up excluded) and re-probe AFTER the pair so the
+window's cleanliness is bracketed on both ends.  Pairs whose bracket
+stays under the gate are `clean`; the best clean pair is the reported
+number, per the round-2 verdict's "equal-window, quiet-host, best-of-3"
+criterion.
+
+Usage: python scripts/patient_scaling.py [n_docs] [rounds] [budget]
+Env: SPIDER_SCALE_GATE (steal %, default 2.0), SPIDER_SCALE_PAIRS
+(clean pairs wanted, default 3), SPIDER_SCALE_DEADLINE_MIN (default
+150), plus run_scaling.py's SPIDER_SCALE_* knobs.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from run_scaling import steal_probe  # noqa: E402  (same scripts dir)
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spider_spark.session import get_spark  # noqa: E402
+from spider_spark.sources.bench_corpus import build_bench_corpus  # noqa: E402
+
+GATE = float(os.environ.get("SPIDER_SCALE_GATE", "2.0"))
+PAIRS = int(os.environ.get("SPIDER_SCALE_PAIRS", "3"))
+DEADLINE_MIN = float(os.environ.get("SPIDER_SCALE_DEADLINE_MIN", "150"))
+N_SMALL = int(os.environ.get("SPIDER_SCALE_N", "7"))
+N_BIG = 4 * N_SMALL
+SCRATCH = os.environ.get("SPIDER_SCALE_TMP", "/dev/shm/spider_scale")
+
+
+def run_worker(size, corpus, n_hosts, rounds, budget, n_docs, tag):
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "_scaling_worker.py"),
+         str(size), corpus, str(n_hosts), str(rounds), str(budget),
+         str(n_docs)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    with open(os.path.join(SCRATCH, f"worker_{size}_{tag}.stderr"), "w") as f:
+        f.write(out.stderr)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        print(out.stderr[-3000:], file=sys.stderr)
+        raise SystemExit(f"worker {size} produced no result")
+    return json.loads(lines[-1])
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 480_000
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    budget = int(sys.argv[3]) if len(sys.argv) > 3 else 50_000
+    n_hosts = max(4, int(n_docs ** 0.5) // 4)
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    corpus = os.path.join(
+        tempfile.mkdtemp(prefix="patient_corpus_", dir=SCRATCH),
+        "documents.parquet")
+    spark = get_spark(app_name="patient_corpus_build")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_bench_corpus(
+        spark, n_docs, corpus,
+        tokens_per_span=int(os.environ.get("SPIDER_SCALE_TOKENS", "240")),
+        n_hosts=n_hosts)
+    spark.stop()
+
+    deadline = time.time() + DEADLINE_MIN * 60
+    pairs = []
+    attempt = 0
+    while len([p for p in pairs if p["clean"]]) < PAIRS \
+            and time.time() < deadline:
+        pre = steal_probe()
+        if pre > GATE:
+            print(json.dumps({"wait": True, "steal_pct": pre}), flush=True)
+            time.sleep(120)
+            continue
+        attempt += 1
+        tag = f"p{attempt}"
+        r_small = run_worker(N_SMALL, corpus, n_hosts, rounds, budget,
+                             n_docs, tag)
+        mid = steal_probe()
+        r_big = run_worker(N_BIG, corpus, n_hosts, rounds, budget,
+                           n_docs, tag)
+        post = steal_probe()
+        clean = max(pre, mid, post) <= GATE
+        eff = (r_big["urls_per_sec"] / r_small["urls_per_sec"]) / (N_BIG / N_SMALL)
+        eff_best = (r_big["best_round_urls_per_sec"]
+                    / r_small["best_round_urls_per_sec"]) / (N_BIG / N_SMALL)
+        pair = {
+            "pair": attempt, "clean": clean,
+            "steal_pre": pre, "steal_mid": mid, "steal_post": post,
+            "small": r_small, "big": r_big,
+            "efficiency": round(eff, 3),
+            "efficiency_best_round": round(eff_best, 3),
+        }
+        pairs.append(pair)
+        print(json.dumps(pair), flush=True)
+
+    usable = [p for p in pairs if p["clean"]] or pairs
+    best = max(usable, key=lambda p: p["efficiency"])
+    print(json.dumps({
+        "mode": "patient", "gate_pct": GATE,
+        "n_docs": n_docs, "rounds": rounds, "budget": budget,
+        "N": N_SMALL, "4N": N_BIG,
+        "pairs_run": len(pairs),
+        "pairs_clean": len([p for p in pairs if p["clean"]]),
+        "best_pair": best["pair"],
+        "urls_per_sec_N": best["small"]["urls_per_sec"],
+        "urls_per_sec_4N": best["big"]["urls_per_sec"],
+        "scaling_efficiency": best["efficiency"],
+        "scaling_efficiency_best_round": best["efficiency_best_round"],
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
