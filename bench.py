@@ -16,7 +16,6 @@ admission→schedule→fetch→parse→index→commit pipeline).
 from __future__ import annotations
 
 import json
-import multiprocessing as mp
 import os
 import shutil
 import sys
@@ -51,32 +50,9 @@ CRAWL_ROUNDS = int(os.environ.get("SPIDER_BENCH_ROUNDS", "4"))
 CRAWL_BUDGET = int(os.environ.get("SPIDER_BENCH_BUDGET", "1024"))
 
 
-def _burn(q):
-    t = time.time() + 8
-    x = 0
-    while time.time() < t:
-        x += 1
-    q.put(x)
-
-
-def steal_probe(nproc: int = 28) -> float:
-    """%hypervisor steal during an 8s all-core spin.  Recorded in the
-    output JSON so every wall-clock number carries its host condition:
-    identical code has measured 149s and 313s headlines on this box at
-    0.2% vs ~12% steal (see BENCH.md host-noise forensics)."""
-    def stat():
-        return [int(v) for v in open("/proc/stat").readline().split()[1:]]
-    try:
-        s0 = stat()
-        q = mp.Queue()
-        ps = [mp.Process(target=_burn, args=(q,)) for _ in range(nproc)]
-        [p.start() for p in ps]
-        [p.join() for p in ps]
-        s1 = stat()
-        d = [b - a for a, b in zip(s0, s1)]
-        return round(100 * d[7] / sum(d), 2)
-    except Exception:  # /proc not readable — probe is best-effort
-        return -1.0
+# one canonical probe (bench + scaling harness); recorded in the output
+# JSON so every wall-clock number carries its host condition
+from spider_spark.hostprobe import steal_probe  # noqa: E402
 
 
 def main() -> None:

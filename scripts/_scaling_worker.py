@@ -36,8 +36,21 @@ from spider_spark.state.store import SnapshotStore
 CORES_PER_EXECUTOR = int(os.environ.get('SPIDER_CORES_PER_EXECUTOR', '4'))
 EXECUTOR_MEM_MB = 10240
 MODE = os.environ.get("SPIDER_SCALE_MODE", "local")
-# fixed across both levels so both run the same physical plans
-SHUFFLE_PARTITIONS = int(os.environ.get("SPIDER_SCALE_SHUFFLE", "32"))
+# fixed across both levels so both run the same physical plans.
+# 112 = 16*7 = 4*28: an exact multiple of BOTH parallelism levels, so
+# neither side pays a partial task wave.  At 32 partitions the big side
+# ran 32 tasks in 2 waves (28+4) while the small side ran 5 full waves
+# — a wave-quantization ceiling of (5/2)/4 = 0.625 efficiency BEFORE
+# any host noise, which round 3's phase logs show directly (tokenize
+# 26s@7 vs 55s@28).  On a real cluster the same rule is the standard
+# 2-4x tasks-per-core sizing; it is not a benchmark trick.
+SHUFFLE_PARTITIONS = int(os.environ.get("SPIDER_SCALE_SHUFFLE", "112"))
+# frontier buckets: the commit's partitioned write runs one task wave
+# sized by len(touched buckets) <= n_buckets, and per-bucket Bloom
+# build/update parallelism equals the bucket count — 32 buckets caps
+# every one of those at a 2-wave quantized run on 28 cores.  128
+# buckets = 4 even waves big side, 16+ small side.
+FRONTIER_BUCKETS = int(os.environ.get("SPIDER_SCALE_BUCKETS", "128"))
 # tmpfs for state + shuffle spill: the sandbox /tmp is disk-backed and
 # writeback storms from snapshot commits otherwise bleed into the
 # measured window of LATER rounds (observed as 2-3x phase outliers)
@@ -52,9 +65,25 @@ def _common(builder):
         .config("spark.sql.shuffle.partitions", str(SHUFFLE_PARTITIONS))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE must not re-coalesce the carefully-sized 112-partition
+        # stages down to a core-count-dependent number of fat tasks —
+        # coalescing keys off defaultParallelism, so the two sides
+        # would run DIFFERENT physical plans and the comparison would
+        # measure AQE's sizing, not the engine's scaling
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # the bench corpus is a few hundred MB of parquet: default 128MB
+        # split packing gives the fetch scan ~4 tasks at ANY core count
+        # (the flat 12-13s "fetch+cache" phase in round 3's logs).  16MB
+        # splits give both sides enough scan tasks to fill their cores.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPIDER_SCALE_SPLIT_BYTES", "16m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # UDS python bridge: fewer syscalls than loopback TCP, and it
+        # sidesteps this guest's intermittent TCP-path degradation
+        # (high-sys%-idle-cores stalls — see session.py note)
+        .config("spark.python.unix.domain.socket.enabled",
+                os.environ.get("SPIDER_UDS", "true"))
         .config("spark.ui.enabled", "false")
         # cache working set (fetch-join spans + token arrays) must fit
         # in storage memory at budget-100k rounds; an undersized heap
@@ -113,6 +142,12 @@ def main() -> None:
         max_parallel_working=budget,
         max_parallel_non_working=budget,
         default_host_quota=max(8, budget // max(4, n_hosts // 4)),
+        frontier_buckets=FRONTIER_BUCKETS,
+        # id-assignment range-partitioning: 8 caps the admission phase's
+        # sequence pass at 8 tasks; match the stage sizing above (the
+        # assigned ids are identical at any partition count — pinned by
+        # tests/test_admission_plan.py)
+        seq_partitions=SHUFFLE_PARTITIONS,
     )
     os.makedirs(SCRATCH, exist_ok=True)
     wd = tempfile.mkdtemp(prefix=f"scaling_{MODE}_{size}_", dir=SCRATCH)
@@ -128,14 +163,29 @@ def main() -> None:
     # asymmetric spikes (see BENCH.md forensics), so alongside the
     # whole-window number we report per-round throughput — the minimum
     # round is the least-interfered equal-window sample (identical
-    # work per round: dense seeds keep every round at full budget)
+    # work per round: dense seeds keep every round at full budget).
+    # Each round also records the host's user/sys CPU split: the
+    # documented interference mode here is guest-KERNEL stalls (sys
+    # time ≳ user time at 80% idle with ZERO steal), which the steal
+    # probe cannot see — sys_frac is the per-round dirtiness marker.
+    def cpu_snap():
+        f = open("/proc/stat").readline().split()[1:]
+        return [int(x) for x in f]
+
     round_secs = []
+    round_cpu = []
     t0 = time.time()
     fetched = 0
     for _ in range(rounds):
         rt = time.time()
+        c0 = cpu_snap()
         fetched += eng.run_round()
+        c1 = cpu_snap()
+        d = [b - a for a, b in zip(c0, c1)]
+        tot = sum(d) or 1
         round_secs.append(round(time.time() - rt, 2))
+        round_cpu.append({"user_pct": round(100 * d[0] / tot, 1),
+                          "sys_pct": round(100 * d[2] / tot, 1)})
     secs = time.time() - t0
     postings = eng.postings().count()
     print(json.dumps({
@@ -147,6 +197,7 @@ def main() -> None:
         "seconds": round(secs, 2),
         "urls_per_sec": round(fetched / secs, 2),
         "round_secs": round_secs,
+        "round_cpu": round_cpu,
         "best_round_urls_per_sec": round((fetched / rounds) / min(round_secs), 2),
         "postings": postings,
     }))

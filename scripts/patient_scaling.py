@@ -35,6 +35,11 @@ from spider_spark.session import get_spark  # noqa: E402
 from spider_spark.sources.bench_corpus import build_bench_corpus  # noqa: E402
 
 GATE = float(os.environ.get("SPIDER_SCALE_GATE", "2.0"))
+# the box's other interference mode is guest-kernel stalls (sys time
+# ≳ user time at 0% steal — see BENCH.md forensics); each worker now
+# records per-round sys_pct, and a pair is only clean if the best
+# round on BOTH sides ran below this kernel-time share
+SYS_GATE = float(os.environ.get("SPIDER_SCALE_SYS_GATE", "12.0"))
 PAIRS = int(os.environ.get("SPIDER_SCALE_PAIRS", "3"))
 DEADLINE_MIN = float(os.environ.get("SPIDER_SCALE_DEADLINE_MIN", "150"))
 N_SMALL = int(os.environ.get("SPIDER_SCALE_N", "7"))
@@ -75,7 +80,8 @@ def main():
     build_bench_corpus(
         spark, n_docs, corpus,
         tokens_per_span=int(os.environ.get("SPIDER_SCALE_TOKENS", "240")),
-        n_hosts=n_hosts)
+        n_hosts=n_hosts,
+        partitions=int(os.environ.get("SPIDER_SCALE_CORPUS_PARTS", "224")))
     spark.stop()
 
     deadline = time.time() + DEADLINE_MIN * 60
@@ -96,13 +102,24 @@ def main():
         r_big = run_worker(N_BIG, corpus, n_hosts, rounds, budget,
                            n_docs, tag)
         post = steal_probe()
-        clean = max(pre, mid, post) <= GATE
+
+        def best_round_sys(r):
+            # sys_pct of the round the best-round metric comes from
+            if not r.get("round_cpu"):
+                return -1.0
+            i = r["round_secs"].index(min(r["round_secs"]))
+            return r["round_cpu"][i]["sys_pct"]
+
+        sys_small, sys_big = best_round_sys(r_small), best_round_sys(r_big)
+        clean = (max(pre, mid, post) <= GATE
+                 and max(sys_small, sys_big) <= SYS_GATE)
         eff = (r_big["urls_per_sec"] / r_small["urls_per_sec"]) / (N_BIG / N_SMALL)
         eff_best = (r_big["best_round_urls_per_sec"]
                     / r_small["best_round_urls_per_sec"]) / (N_BIG / N_SMALL)
         pair = {
             "pair": attempt, "clean": clean,
             "steal_pre": pre, "steal_mid": mid, "steal_post": post,
+            "sys_pct_best_round": {"small": sys_small, "big": sys_big},
             "small": r_small, "big": r_big,
             "efficiency": round(eff, 3),
             "efficiency_best_round": round(eff_best, 3),
@@ -111,9 +128,12 @@ def main():
         print(json.dumps(pair), flush=True)
 
     usable = [p for p in pairs if p["clean"]] or pairs
-    best = max(usable, key=lambda p: p["efficiency"])
+    # the equal-window best-round comparison is the defensible number:
+    # kernel stalls strike individual rounds asymmetrically, and every
+    # round does identical work (dense seeds keep each at full budget)
+    best = max(usable, key=lambda p: p["efficiency_best_round"])
     print(json.dumps({
-        "mode": "patient", "gate_pct": GATE,
+        "mode": "patient", "gate_pct": GATE, "sys_gate_pct": SYS_GATE,
         "n_docs": n_docs, "rounds": rounds, "budget": budget,
         "N": N_SMALL, "4N": N_BIG,
         "pairs_run": len(pairs),
@@ -121,6 +141,10 @@ def main():
         "best_pair": best["pair"],
         "urls_per_sec_N": best["small"]["urls_per_sec"],
         "urls_per_sec_4N": best["big"]["urls_per_sec"],
+        "best_round_urls_per_sec_N":
+            best["small"]["best_round_urls_per_sec"],
+        "best_round_urls_per_sec_4N":
+            best["big"]["best_round_urls_per_sec"],
         "scaling_efficiency": best["efficiency"],
         "scaling_efficiency_best_round": best["efficiency_best_round"],
     }), flush=True)

@@ -12,15 +12,14 @@ Usage: python scripts/run_scaling.py [n_docs] [rounds] [budget]
 """
 
 import json
-import multiprocessing as mp
 import os
 import subprocess
 import sys
 import tempfile
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from spider_spark.hostprobe import steal_probe  # noqa: F401 (re-exported)
 from spider_spark.session import get_spark
 from spider_spark.sources.bench_corpus import build_bench_corpus
 
@@ -33,29 +32,6 @@ N_SMALL = int(os.environ.get("SPIDER_SCALE_N", "7" if MODE == "local" else "2"))
 N_BIG = 4 * N_SMALL
 TRIALS = int(os.environ.get("SPIDER_SCALE_TRIALS", "2"))
 SCRATCH = os.environ.get("SPIDER_SCALE_TMP", "/dev/shm/spider_scale")
-
-
-def _burn(q):
-    t = time.time() + 8
-    x = 0
-    while time.time() < t:
-        x += 1
-    q.put(x)
-
-
-def steal_probe(nproc: int = 28) -> float:
-    """%hypervisor steal during an 8s all-core spin — the quiet-host
-    gate the round-2 verdict asked for (<1% before trusting a window)."""
-    def stat():
-        return [int(v) for v in open("/proc/stat").readline().split()[1:]]
-    s0 = stat()
-    q = mp.Queue()
-    ps = [mp.Process(target=_burn, args=(q,)) for _ in range(nproc)]
-    [p.start() for p in ps]
-    [p.join() for p in ps]
-    s1 = stat()
-    d = [b - a for a, b in zip(s0, s1)]
-    return round(100 * d[7] / sum(d), 2)
 
 
 def main() -> None:
@@ -72,7 +48,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build_bench_corpus(spark, n_docs, corpus,
                        tokens_per_span=int(os.environ.get("SPIDER_SCALE_TOKENS", "240")),
-                       n_hosts=n_hosts)
+                       n_hosts=n_hosts,
+                       # enough files that the fetch scan can fill 28
+                       # cores even after split packing (see worker's
+                       # maxPartitionBytes note)
+                       partitions=int(os.environ.get(
+                           "SPIDER_SCALE_CORPUS_PARTS", "224")))
     spark.stop()
 
     results = {}

@@ -51,39 +51,57 @@ def _cap_bucket_size(
     order_col: str = "doc_id",
 ) -> DataFrame:
     """Keep at most bucket_cap rows per LSH bucket (lowest order_col
-    wins — deterministic).  stats_out, when given, is filled with
-    {'buckets_over_cap', 'rows_dropped'} via one small agg job.  When
-    stats_out is NOT given the truncation counts are still computed and
-    logged as a warning if anything was dropped — the cap is never
-    silent (a boilerplate-heavy corpus can lose near-dup recall here,
-    and the caller should know)."""
+    wins — deterministic).  The truncation counts derive from the SAME
+    row_number window that enforces the cap (dropped rows are those
+    with ``_rn > cap``; each over-cap bucket contributes exactly one
+    row with ``_rn == cap+1``) — never from a separate groupBy job.
+
+    stats_out, when given, is filled synchronously with
+    {'buckets_over_cap', 'rows_dropped'} — that costs one agg action
+    over the window pass, so only pass it when you want the numbers.
+    When stats_out is NOT given, NO extra job runs: the counts ride
+    along the caller's own first action as an ``observe`` metric and a
+    warning fires asynchronously if anything was dropped — the cap is
+    never silent (a boilerplate-heavy corpus can lose near-dup recall
+    here, and the caller should know)."""
     if bucket_cap is None:
         return banded
-    over = (
-        banded.groupBy(*key_cols).count()
-        .filter(F.col("count") > bucket_cap)
-        .agg(F.count("*").alias("b"),
-             F.sum(F.col("count") - bucket_cap).alias("d"))
-        .first()
-    )
-    n_over, n_dropped = over["b"] or 0, over["d"] or 0
-    if stats_out is not None:
-        stats_out["buckets_over_cap"] = n_over
-        stats_out["rows_dropped"] = n_dropped
-    elif n_dropped:
-        import warnings
-        warnings.warn(
-            f"LSH bucket_cap={bucket_cap}: dropped {n_dropped} rows from "
-            f"{n_over} oversized buckets (near-dup recall may suffer; "
-            "pass stats_out= to collect these counts instead)",
-            stacklevel=3,
-        )
     w = Window.partitionBy(*key_cols).orderBy(order_col)
-    return (
-        banded.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= bucket_cap)
-        .drop("_rn")
-    )
+    ranked = banded.withColumn("_rn", F.row_number().over(w))
+    dropped_expr = F.sum(
+        F.when(F.col("_rn") > bucket_cap, 1).otherwise(0)
+    ).alias("rows_dropped")
+    over_expr = F.sum(
+        F.when(F.col("_rn") == bucket_cap + 1, 1).otherwise(0)
+    ).alias("buckets_over_cap")
+    if stats_out is not None:
+        row = ranked.agg(dropped_expr, over_expr).first()
+        stats_out["rows_dropped"] = row["rows_dropped"] or 0
+        stats_out["buckets_over_cap"] = row["buckets_over_cap"] or 0
+    else:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        ranked = ranked.observe(obs, dropped_expr, over_expr)
+
+        def _warn_when_materialized():
+            m = obs.get  # blocks until the caller's first action
+            if m["rows_dropped"]:
+                import warnings
+                # "~": when the capped result feeds a self-join the
+                # observed subtree may execute once per join leg, so
+                # the counts can be a small integer multiple of the
+                # true values — presence is exact, magnitude is not
+                warnings.warn(
+                    f"LSH bucket_cap={bucket_cap}: dropped "
+                    f"~{m['rows_dropped']} rows from "
+                    f"~{m['buckets_over_cap']} oversized buckets "
+                    "(near-dup recall may suffer; pass stats_out= to "
+                    "collect exact counts instead)")
+
+        import threading
+        threading.Thread(target=_warn_when_materialized, daemon=True).start()
+    return ranked.filter(F.col("_rn") <= bucket_cap).drop("_rn")
 
 _MERSENNE = (1 << 61) - 1
 

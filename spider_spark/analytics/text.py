@@ -176,10 +176,17 @@ def fingerprint_col(text: Column) -> Column:
 def doc_fingerprint(text: str) -> int:
     """Driver-side scalar twin of ``fingerprint_col`` (tests /
     oracles).  Matches Spark's xxhash64(seed=42) bit-for-bit via the
-    same normalization + the reference XXH64 algorithm."""
+    same normalization + the reference XXH64 algorithm.
+
+    The normalization must mirror the Column expression EXACTLY:
+    Spark's ``\\s`` is ASCII-only ([ \\t\\n\\x0b\\f\\r]) and ``trim``
+    strips only 0x20 — Python's ``str.split()`` would also collapse
+    Unicode whitespace (NBSP, \\u2028, \\x1c-\\x1f) and silently
+    diverge on non-ASCII text (ADVICE r3)."""
     if text is None:
         return 0
-    norm = " ".join(text.split()).lower()
+    import re
+    norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", text).strip(" ").lower()
     return _xxh64(norm.encode("utf-8"), seed=42) & 0x7FFFFFFFFFFFFFFF
 
 

@@ -69,7 +69,16 @@ class CrawlConfig:
     # --- graft knobs (SURVEY.md §0.1 axes A+B) ---
     default_host_quota: int = 8      # per-host max fetches per round (politeness)
     num_salts: int = 4               # sub-partitions for hot-host ranking skew
-    frontier_buckets: int = 32       # bucket(url_hash) partition count
+    # bucket(url_hash) partition count.  SIZING RULE (VERDICT r3 #4):
+    # pick nb = ceil(expected_frontier_keys / target_keys_per_bucket)
+    # at bootstrap, targeting ~4M keys/bucket — each bucket's Bloom
+    # bitmap is then keys·bits_per_key·4x-headroom ≈ 4M·10·4 bits
+    # ≈ 20 MB, built inside ONE task comfortably.  At 10^10 URLs that
+    # is nb ≈ 2500 (≫ cores, so commit/filter writes stay parallel);
+    # the default 32 suits the ≤10^8-key test/bench scale.  A frontier
+    # that outgrows its sizing migrates with engine.rebucket(new_nb)
+    # (one O(frontier) job, filters rebuilt, one atomic swap).
+    frontier_buckets: int = 32
     # id/seq assignment parallelism: >1 → two-pass range-partitioned
     # sequence (per-partition counts → offsets → partition-local
     # row_number); 1 → single global window (tiny rounds only)
@@ -91,6 +100,11 @@ class CrawlConfig:
     # segment when their segment list reaches this length, bounding
     # read fan-out at ~10^4 rounds (store.compact_appends)
     max_append_segments: int = 48
+    # snapshot expiry (Iceberg expire_snapshots analog): when an append
+    # compaction runs, unreferenced snapshot dirs older than this many
+    # rounds are removed (store.gc_orphans keep_recent).  Superseded
+    # bucket dirs otherwise accumulate forever.  0 disables expiry.
+    gc_retain_rounds: int = 2
     respect_robots: bool = True
 
     def max_parallel(self, round_hour: int) -> int:

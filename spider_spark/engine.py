@@ -225,10 +225,86 @@ class CrawlEngine:
 
     def _maybe_compact(self) -> None:
         cat = self.store.read_catalog()
+        compacted = False
         for table, segs in cat["appends"].items():
             if len(segs) >= self.config.max_append_segments:
                 self.store.compact_appends(
                     self.spark, table, self.config.max_append_segments)
+                compacted = True
+        # snapshot expiry rides the compaction cadence (Iceberg
+        # expire_snapshots): every touched-bucket rewrite strands the
+        # superseded bucket=N dirs, so without this a 10^4-round crawl
+        # leaks disk proportional to cumulative rewrite volume.  The
+        # keep-last-N grace window protects concurrent readers of the
+        # previous catalog (gc_retain_rounds=0 disables expiry).
+        if compacted and self.config.gc_retain_rounds:
+            self.store.gc_orphans(keep_recent=self.config.gc_retain_rounds)
+
+    def rebucket(self, new_nb: int) -> None:
+        """Migrate the frontier (and its filter tables) to a new bucket
+        count — the growth path for a frontier that outgrew its
+        bootstrap-time sizing (VERDICT r3 missing #3).
+
+        Sizing rule (config.frontier_buckets docstring has the
+        arithmetic): nb = ceil(expected_keys / target_keys_per_bucket)
+        with ~4M keys/bucket as the target — at 10^10 URLs that is
+        ~2500 buckets, each bucket's Bloom bitmap 4M·10bits·4x ≈ 20 MB,
+        built inside ONE task.  When the frontier outgrows that, this
+        one-shot job reads ALL buckets, re-hashes to the new modulus,
+        rebuilds the per-bucket filters, and commits everything in one
+        atomic swap (its own round, like enqueue).  Nothing in the
+        reference corresponds — Perst B-trees grow node-by-node
+        (org/garret/perst/impl/Btree.java); on Iceberg this is a
+        partition-spec evolution + full rewrite.
+
+        O(frontier) — run it like a compaction, not per round."""
+        cat = self.store.read_catalog()
+        nb_old = self._n_buckets()
+        if new_nb == nb_old or not self.store.exists("frontier"):
+            return
+        rnd = cat["round"]
+        next_id = cat["lineage"][-1]["metrics"]["next_id"] if cat["lineage"] else 0
+        frontier = self.store.read(self.spark, "frontier")
+        if frontier is None:
+            return
+        b = self._bucket_expr(new_nb)
+        final = (
+            frontier.select(*admission.FRONTIER_COLUMNS)
+            .withColumn("bucket", b)
+            .withColumn("_pstatus", F.col("status"))
+            .repartition(new_nb, F.col("bucket"))
+            .cache()
+        )
+        final.count()  # materialize before the concurrent writers
+        bucket_updates = {"frontier": (final, new_nb)}
+        fs = self._filters_state(cat, next_id)
+        # per-bucket filters are keyed by pmod(hash, nb) — a new
+        # modulus invalidates every row, so rebuild from the re-read
+        # frontier rather than carrying anything over
+        if fs["has_bloom"]:
+            bucket_updates["bloom"] = (
+                seenfilter.build_bucket_blooms(
+                    final.select("url"), new_nb,
+                    self.config.bloom_bits_per_key)
+                .withColumn("bucket", F.col("bkt")),
+                new_nb,
+            )
+        if fs["has_done"]:
+            bucket_updates["done"] = (
+                seenfilter.build_bucket_cuckoos(
+                    final.filter(F.col("status") != "QUEUED").select("url"),
+                    new_nb)
+                .withColumn("bucket", F.col("bkt")),
+                new_nb,
+            )
+        self.store.commit_round(
+            rnd + 1, rewrites={}, appends={},
+            bucket_updates=bucket_updates,
+            rebucket={"frontier", "bloom", "done"},
+            metrics={"next_id": next_id, "fetched": 0, "admitted": 0,
+                     "rebucketed": {"from": nb_old, "to": new_nb}},
+        )
+        final.unpersist()
 
     # -- bootstrap (A1 seed source) ---------------------------------------
 
@@ -442,13 +518,18 @@ class CrawlEngine:
             queued, self.hosts, cfg, budget
         ).cache()
         # fused select materialization: for driver-bounded budgets the
-        # url list doubles as the count AND the fetch IN-pushdown list
+        # url list doubles as the count AND the fetch IN-pushdown list.
+        # A large-budget round that SELECTED few urls (crawl tail)
+        # still earns the point-read pushdown — the extra collect is
+        # over the already-cached ≤1024-row selection (ADVICE r3)
         url_list = None
         if budget <= 1024:
             url_list = [r.url for r in selected.select("url").collect()]
             k = len(url_list)
         else:
             k = selected.count()
+            if k <= 1024:
+                url_list = [r.url for r in selected.select("url").collect()]
         _t = _tick(f"select k={k}", _t)
 
         if k == 0:
@@ -681,15 +762,21 @@ class CrawlEngine:
         pending = self.store.pending_round() if include_not_pushed else None
         if not pending:
             return counts
-        log_dir = next(
-            (d for d in pending["dirs"] if d.startswith("crawl_log/")), None)
-        if log_dir is None:
-            return counts
-        n_np = self.spark.read.parquet(
-            os.path.join(self.store.root, log_dir)).count()
+        # the torn round's fetch count is already in the marker metrics
+        # (written by commit_round phase 1) — no Spark job needed to
+        # size the NOT_PUSHED row
+        n_np = int(pending.get("metrics", {}).get("fetched", 0))
         if n_np == 0:
             return counts
         rows = [(r["status"], r["n"]) for r in counts.collect()]
+        queued = dict(rows).get("QUEUED", 0)
+        if n_np > queued:
+            # NOT_PUSHED ⊆ committed QUEUED by construction (the torn
+            # round selected from the committed frontier); a marker
+            # claiming more is corrupt and must surface, not be absorbed
+            raise ValueError(
+                f"inconsistent pending marker: NOT_PUSHED={n_np} exceeds "
+                f"committed QUEUED={queued}")
         adjusted = [
             (s, n - n_np if s == "QUEUED" else n) for s, n in rows
         ]

@@ -13,10 +13,12 @@ numpy array — cheap to broadcast to executors and probe inside an
 Arrow-batched pandas UDF.
 
 Hashing: the ENGINE path computes the two 64-bit hashes JVM-side
-(``xxhash64(url)`` / ``xxhash64(url, 1)``) and feeds them to the fully
-numpy-vectorized ``add_hash_arrays`` / ``contains_hash_arrays`` — no
-per-row Python anywhere in the hot path.  The per-string BLAKE2b API
-remains for standalone use and the cuckoo filter; both are fully
+(``xxhash64(url)`` / ``xxhash64(url, 1)``) and feeds them to the
+numpy-vectorized array APIs — Bloom ``add_hash_arrays`` /
+``contains_hash_arrays`` and cuckoo ``fp_buckets_arrays`` /
+``add_fp`` / ``contains_arrays`` — so the only per-key Python left is
+the cuckoo kick loop, which is inherently sequential.  The per-string
+BLAKE2b API remains for standalone use; both families are fully
 deterministic across processes (unlike Python's salted ``hash()``),
 which the bit-identical-resume requirement needs.  Build and probe must
 use the SAME API family (the two hash different bit positions).
@@ -140,6 +142,62 @@ class CuckooFilter:
         i2 = (i1 ^ self._fp_hash(fp)) % self.num_buckets
         return fp, i1, i2
 
+    # -- vectorized hash-pair API (the engine hot path) --------------------
+    #
+    # Same partial-key scheme, but fingerprints/bucket indices derive
+    # from JVM-side xxhash64 pairs computed as Columns (like the Bloom
+    # path) and come back as whole numpy arrays — the per-key Python
+    # cost drops to just the cuckoo kick loop, which is inherently
+    # sequential.  The two hash families place keys at different slots,
+    # so a filter must be built and probed by the SAME family.
+
+    @staticmethod
+    def fp_buckets_arrays(h1: np.ndarray, h2: np.ndarray, nb: int):
+        """(h1, h2) uint64 arrays → (fp, i1, i2) int64 arrays."""
+        h1 = np.ascontiguousarray(h1, dtype=np.uint64)
+        h2 = np.ascontiguousarray(h2, dtype=np.uint64)
+        fp = (h1 & np.uint64(0xFFFF)).astype(np.int64)
+        fp[fp == 0] = 1
+        i1 = (h2 % np.uint64(nb)).astype(np.int64)
+        # fp <= 0xFFFF so fp*0x5BD1E995 < 2^48: no int64 overflow, and
+        # the scalar _fp_hash's implicit unbounded-int arithmetic
+        # agrees with this exactly
+        x = fp * 0x5BD1E995
+        fph = (x ^ (x >> 13)) & 0x7FFFFFFF
+        i2 = (i1 ^ fph) % nb
+        return fp, i1, i2
+
+    def add_fp(self, fp: int, i1: int, i2: int) -> bool:
+        """Insert a precomputed (fingerprint, bucket, alt-bucket) key —
+        the kick loop of ``add`` without the hashing."""
+        if self._try_put(i1, fp) or self._try_put(i2, fp):
+            return True
+        i = i1 if (self._kick_seq & 1) == 0 else i2
+        for _ in range(self.MAX_KICKS):
+            s = self._kick_seq % self.SLOTS
+            self._kick_seq += 1
+            fp, self.table[i][s] = int(self.table[i][s]), fp
+            i = self._alt(i, fp)
+            if self._try_put(i, fp):
+                return True
+        return False
+
+    def delete_fp(self, fp: int, i1: int, i2: int) -> bool:
+        for i in (i1, i2):
+            row = self.table[i]
+            for s in range(self.SLOTS):
+                if row[s] == fp:
+                    row[s] = 0
+                    return True
+        return False
+
+    def contains_arrays(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Whole-array membership probe for xxhash64-pair keys."""
+        fp, i1, i2 = self.fp_buckets_arrays(h1, h2, self.num_buckets)
+        fpc = fp[:, None].astype(self.table.dtype)
+        return ((self.table[i1] == fpc).any(axis=1)
+                | (self.table[i2] == fpc).any(axis=1))
+
     @staticmethod
     def _fp_hash(fp: int) -> int:
         # small deterministic scramble of the fingerprint
@@ -158,33 +216,15 @@ class CuckooFilter:
         return False
 
     def add(self, key: str) -> bool:
-        fp, i1, i2 = self._fp_and_buckets(key)
-        if self._try_put(i1, fp) or self._try_put(i2, fp):
-            return True
-        # evict deterministically
-        i = i1 if (self._kick_seq & 1) == 0 else i2
-        for _ in range(self.MAX_KICKS):
-            s = self._kick_seq % self.SLOTS
-            self._kick_seq += 1
-            fp, self.table[i][s] = int(self.table[i][s]), fp
-            i = self._alt(i, fp)
-            if self._try_put(i, fp):
-                return True
-        return False  # table full — caller should rebuild larger
+        # False = table full — caller should rebuild larger
+        return self.add_fp(*self._fp_and_buckets(key))
 
     def __contains__(self, key: str) -> bool:
         fp, i1, i2 = self._fp_and_buckets(key)
         return fp in self.table[i1] or fp in self.table[i2]
 
     def delete(self, key: str) -> bool:
-        fp, i1, i2 = self._fp_and_buckets(key)
-        for i in (i1, i2):
-            row = self.table[i]
-            for s in range(self.SLOTS):
-                if row[s] == fp:
-                    row[s] = 0
-                    return True
-        return False
+        return self.delete_fp(*self._fp_and_buckets(key))
 
     def contains_series(self, keys: pd.Series) -> pd.Series:
         return keys.map(lambda k: k is not None and k in self)

@@ -181,13 +181,25 @@ def probe_blooms(cand: DataFrame, bloom_df: DataFrame, nb: int) -> DataFrame:
 def build_bucket_cuckoos(urls: DataFrame, nb: int) -> DataFrame:
     """(url) rows (the currently non-QUEUED pages) → one cuckoo filter
     row per populated bucket.  Insertion order is pinned by sorting, so
-    the table bytes are deterministic across partition layouts."""
-    hashed = urls.select(bucket_of(F.col("url"), nb).alias("bkt"), "url")
+    the table bytes are deterministic across partition layouts.
+
+    Keys are JVM-side xxhash64 pairs (same family as the Bloom path):
+    fingerprints and bucket indices come back as whole numpy arrays and
+    only the inherently-sequential kick loop runs per key (VERDICT r3
+    item 6)."""
+    hashed = urls.select(bucket_of(F.col("url"), nb).alias("bkt"), "url",
+                         *_hash_pair(urls))
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        pdf = pdf.sort_values("url")
         cf = CuckooFilter(max(256, 4 * len(pdf)))
-        for u in sorted(pdf["url"]):
-            cf.add(u)
+        fp, i1, i2 = CuckooFilter.fp_buckets_arrays(
+            pdf["_h1"].to_numpy().view(np.uint64),
+            pdf["_h2"].to_numpy().view(np.uint64), cf.num_buckets)
+        add = cf.add_fp
+        for j in range(len(fp)):
+            add(int(fp[j]), int(i1[j]), int(i2[j]))
         return pd.DataFrame({
             "bkt": [int(pdf["bkt"].iloc[0])], "n": [len(pdf)],
             "nb": [cf.num_buckets], "kick": [cf._kick_seq],
@@ -208,7 +220,7 @@ def update_bucket_cuckoos(changes: DataFrame, done_df: DataFrame,
     with ``overflow=true`` signals the engine to rebuild that bucket
     from its merged frontier rows (capacity exceeded — rare)."""
     left = changes.select(bucket_of(F.col("url"), nb).alias("bkt"),
-                          "url", "op")
+                          "url", "op", *_hash_pair(changes))
 
     def upd(left_pdf: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -232,15 +244,22 @@ def update_bucket_cuckoos(changes: DataFrame, done_df: DataFrame,
             n = int(r["n"])
         overflow = False
         # sorted (op, url) order: deterministic table bytes; bounded by
-        # the round's status-change volume, not the frontier size
-        for _, row in left_pdf.sort_values(["op", "url"]).iterrows():
-            if row["op"] == "add":
-                if not cf.add(row["url"]):
+        # the round's status-change volume, not the frontier size.
+        # Fingerprints/bucket indices precomputed whole-array; only the
+        # kick loop is per-key Python
+        left_pdf = left_pdf.sort_values(["op", "url"])
+        fp, i1, i2 = CuckooFilter.fp_buckets_arrays(
+            left_pdf["_h1"].to_numpy().view(np.uint64),
+            left_pdf["_h2"].to_numpy().view(np.uint64), cf.num_buckets)
+        is_add = (left_pdf["op"] == "add").to_numpy()
+        for j in range(len(fp)):
+            if is_add[j]:
+                if not cf.add_fp(int(fp[j]), int(i1[j]), int(i2[j])):
                     overflow = True
                     break
                 n += 1
             else:
-                if cf.delete(row["url"]):
+                if cf.delete_fp(int(fp[j]), int(i1[j]), int(i2[j])):
                     n -= 1
         return pd.DataFrame({
             "bkt": [bkt], "n": [n], "nb": [cf.num_buckets],
@@ -260,7 +279,9 @@ def probe_cuckoos(df: DataFrame, done_df: DataFrame, nb: int,
     """df + ``<flag>`` boolean: url ∈ the done (non-QUEUED) set.  No
     false negatives (only inserted keys are ever deleted), so a False
     safely prunes the force-requeue confirm join."""
-    left = df.withColumn("_bkt", bucket_of(F.col("url"), nb))
+    left = (df.withColumn("_bkt", bucket_of(F.col("url"), nb))
+            .withColumn("_h1", F.xxhash64("url"))
+            .withColumn("_h2", F.xxhash64("url", F.lit(1))))
     out_fields = [f"`{c}` {left.schema[c].dataType.simpleString()}"
                   for c in left.columns]
     out_schema = ", ".join(out_fields + [f"`{flag}` boolean"])
@@ -277,12 +298,14 @@ def probe_cuckoos(df: DataFrame, done_df: DataFrame, nb: int,
         cf._kick_seq = int(r["kick"])
         cf.table = np.frombuffer(
             r["table"], dtype=np.uint16).reshape(-1, CuckooFilter.SLOTS)
-        return left_pdf.assign(
-            **{flag: left_pdf["url"].map(lambda u: u in cf)})
+        ok = cf.contains_arrays(
+            left_pdf["_h1"].to_numpy().view(np.uint64),
+            left_pdf["_h2"].to_numpy().view(np.uint64))
+        return left_pdf.assign(**{flag: ok})
 
     out = (
         left.groupBy("_bkt")
         .cogroup(done_df.groupBy("bkt"))
         .applyInPandas(lambda lp, rp: probe(lp, rp), out_schema)
     )
-    return out.drop("_bkt")
+    return out.drop("_bkt", "_h1", "_h2")

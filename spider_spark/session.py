@@ -24,6 +24,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Unix-domain sockets for the executor<->Python-worker Arrow
+        # bridge (Spark 4): strictly fewer kernel round-trips than
+        # loopback TCP on any host, and on THIS sandbox it sidesteps a
+        # guest-kernel pathology where the TCP path intermittently
+        # degrades ~10x under Spark concurrency (high sys%, idle cores,
+        # zero steal — see BENCH.md forensics)
+        .config("spark.python.unix.domain.socket.enabled",
+                os.environ.get("SPIDER_UDS", "true"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -195,6 +195,7 @@ class SnapshotStore:
         appends: dict[str, DataFrame],
         metrics: dict[str, Any] | None = None,
         bucket_updates: dict[str, tuple[DataFrame, int]] | None = None,
+        rebucket: set[str] | frozenset[str] = frozenset(),
     ) -> None:
         """Write all round outputs, then swap the catalog atomically.
 
@@ -206,7 +207,15 @@ class SnapshotStore:
         those buckets (Iceberg partition-overwrite analog).  If df also
         carries a ``_pstatus`` column the write sub-partitions each
         bucket by it (status-pruned layout; a table switching layouts
-        must rewrite ALL of its current buckets in that commit)."""
+        must rewrite ALL of its current buckets in that commit).
+
+        ``rebucket`` names bucketed tables whose bucket COUNT this
+        commit intentionally changes (engine.rebucket migration): their
+        df must hold the table's FULL contents re-hashed to the new
+        count, and the previous dirs are dropped wholesale (they are
+        hashed by the old modulus and would mis-route reads).  Without
+        the flag a count mismatch still raises — it is always a bug
+        outside a migration."""
         cat = self.read_catalog()
         new_tables = dict(cat["tables"])
         new_appends = {k: list(v) for k, v in cat["appends"].items()}
@@ -229,8 +238,12 @@ class SnapshotStore:
         for table, (df, nb) in (bucket_updates or {}).items():
             prev = new_buckets.get(table)
             if prev is not None and prev["n"] != nb:
-                raise ValueError(
-                    f"{table}: bucket count {nb} != catalog {prev['n']}")
+                if table not in rebucket:
+                    raise ValueError(
+                        f"{table}: bucket count {nb} != catalog {prev['n']}")
+                # migration: the new write is the whole table under the
+                # new modulus — forget every old-modulus dir
+                new_buckets[table] = {"n": nb, "dirs": {}}
             jobs.append((table, f"{table}/snap-{rnd:06d}", df, "bucket"))
 
         def _write(job):
@@ -377,19 +390,41 @@ class SnapshotStore:
             df = df.coalesce(target_partitions)
         rel = f"{table}/rollup-{cat['round']:06d}-{len(segs)}"
         df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
-        # re-read the catalog: a concurrent round may have appended a
-        # NEW segment while the rollup wrote — keep any tail segments
-        # beyond the ones we merged
+        # single-writer store (one driver owns the catalog, like one
+        # Iceberg committer with the lock): re-reading here only guards
+        # against THIS process having committed a new segment between
+        # the read above and the rollup write finishing (the engine
+        # does not, but API callers may) — it is NOT a concurrent-
+        # multi-process protocol; the read-modify-swap below is not
+        # serialized against another writer process
         cat2 = self.read_catalog()
         tail = [s for s in cat2["appends"].get(table, []) if s not in segs]
         cat2["appends"][table] = [rel] + tail
         self._swap_catalog(cat2)
         return True
 
-    def gc_orphans(self) -> list[str]:
-        """Remove snapshot dirs not referenced by the catalog (post-crash
-        cleanup; safe because the catalog swap is the commit point)."""
+    def gc_orphans(self, keep_recent: int = 0) -> list[str]:
+        """Remove snapshot dirs not referenced by the catalog (the
+        Iceberg expire_snapshots analog; post-crash cleanup is the
+        degenerate case).  Safe because the catalog swap is the commit
+        point: anything unreferenced can never become referenced again.
+
+        ``keep_recent`` retains unreferenced dirs whose encoded round is
+        within that many rounds of the current round — a grace window so
+        a concurrent reader that opened the PREVIOUS catalog (e.g. a
+        dashboard query mid-commit) never has its files deleted out from
+        under it.  Dirs are named ``snap-/seg-/rollup-<round>...``, so
+        the round is recoverable from the name alone."""
         cat = self.read_catalog()
+        current = cat["round"]
+
+        def _dir_round(name: str) -> int:
+            # snap-000012, seg-000012, rollup-000012-5 → 12; unknown → -1
+            for part in name.split("-")[1:2]:
+                if part.isdigit():
+                    return int(part)
+            return -1
+
         live = set(cat["tables"].values())
         for segs in cat["appends"].values():
             live.update(segs)
@@ -403,6 +438,8 @@ class SnapshotStore:
             for snap in os.listdir(tdir):
                 rel = f"{table}/{snap}"
                 if rel in live:
+                    continue
+                if keep_recent and _dir_round(snap) > current - keep_recent:
                     continue
                 snap_dir = os.path.join(tdir, snap)
                 live_leaves = {p for p in live if p.startswith(rel + "/")}

@@ -157,6 +157,16 @@ def test_fingerprint_stability(docs, spark):
     assert a[1] != a[3]
     # whitespace-normalization invariance
     assert text.doc_fingerprint("hello   world") == text.doc_fingerprint("hello world")
+    # non-ASCII whitespace (NBSP, line-sep, info-separators) is NOT
+    # collapsed — Spark's \s is ASCII-only, and the twin must agree
+    # (ADVICE r3); check against the JVM expression directly
+    tricky = ["a\xa0b", "a b", "a\x1c\x1d\x1fb", "  pad\xa0  ",
+              "mixed \xa0 ws\t\xa0\n"]
+    tricky_df = spark.createDataFrame([(t,) for t in tricky], "text string")
+    jvm_fps = [r["fp"] for r in tricky_df.select(
+        text.fingerprint_col(F.col("text")).alias("fp")).collect()]
+    assert jvm_fps == [text.doc_fingerprint(t) for t in tricky]
+    assert text.doc_fingerprint("a\xa0b") != text.doc_fingerprint("a b")
     # the driver-side scalar twin matches Spark's JVM expression exactly
     texts = [r["text"] for r in docs.select("text").collect()]
     spark_fps = [r["fp"] for r in docs.withColumn(
