@@ -27,10 +27,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from run_scaling import steal_probe  # noqa: E402  (same scripts dir)
-
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from spider_spark.hostprobe import steal_probe, syscall_probe  # noqa: E402
 from spider_spark.session import get_spark  # noqa: E402
 from spider_spark.sources.bench_corpus import build_bench_corpus  # noqa: E402
 
@@ -40,6 +39,10 @@ GATE = float(os.environ.get("SPIDER_SCALE_GATE", "2.0"))
 # records per-round sys_pct, and a pair is only clean if the best
 # round on BOTH sides ran below this kernel-time share
 SYS_GATE = float(os.environ.get("SPIDER_SCALE_SYS_GATE", "12.0"))
+# pre-gate for the SAME mode: socketpair round-trips/s/pair (clean
+# >100k here, stalled ~10k measured).  steal_probe alone cannot see
+# invisible steal on the syscall path
+SYSCALL_MIN = float(os.environ.get("SPIDER_SCALE_SYSCALL_MIN", "60000"))
 PAIRS = int(os.environ.get("SPIDER_SCALE_PAIRS", "3"))
 DEADLINE_MIN = float(os.environ.get("SPIDER_SCALE_DEADLINE_MIN", "150"))
 N_SMALL = int(os.environ.get("SPIDER_SCALE_N", "7"))
@@ -47,21 +50,31 @@ N_BIG = 4 * N_SMALL
 SCRATCH = os.environ.get("SPIDER_SCALE_TMP", "/dev/shm/spider_scale")
 
 
+WORKER_TIMEOUT = int(os.environ.get("SPIDER_SCALE_WORKER_TIMEOUT", "1800"))
+
+
 def run_worker(size, corpus, n_hosts, rounds, budget, n_docs, tag):
-    out = subprocess.run(
-        [sys.executable,
-         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      "_scaling_worker.py"),
-         str(size), corpus, str(n_hosts), str(rounds), str(budget),
-         str(n_docs)],
-        capture_output=True, text=True, timeout=3600,
-    )
+    """One worker run; returns its result dict, or None if the worker
+    timed out (a stalled-host window — burn no more time on it) or
+    died.  A None poisons the pair, which is recorded as dirty."""
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "_scaling_worker.py"),
+             str(size), corpus, str(n_hosts), str(rounds), str(budget),
+             str(n_docs)],
+            capture_output=True, text=True, timeout=WORKER_TIMEOUT,
+        )
+    except subprocess.TimeoutExpired:
+        print(json.dumps({"worker_timeout": size, "tag": tag}), flush=True)
+        return None
     with open(os.path.join(SCRATCH, f"worker_{size}_{tag}.stderr"), "w") as f:
         f.write(out.stderr)
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
         print(out.stderr[-3000:], file=sys.stderr)
-        raise SystemExit(f"worker {size} produced no result")
+        return None
     return json.loads(lines[-1])
 
 
@@ -90,18 +103,26 @@ def main():
     while len([p for p in pairs if p["clean"]]) < PAIRS \
             and time.time() < deadline:
         pre = steal_probe()
-        if pre > GATE:
-            print(json.dumps({"wait": True, "steal_pct": pre}), flush=True)
+        pre_sc = syscall_probe()
+        if pre > GATE or (0 <= pre_sc < SYSCALL_MIN):
+            print(json.dumps({"wait": True, "steal_pct": pre,
+                              "syscall_rts": pre_sc}), flush=True)
             time.sleep(120)
             continue
         attempt += 1
         tag = f"p{attempt}"
         r_small = run_worker(N_SMALL, corpus, n_hosts, rounds, budget,
                              n_docs, tag)
+        if r_small is None:
+            continue
         mid = steal_probe()
+        mid_sc = syscall_probe()
         r_big = run_worker(N_BIG, corpus, n_hosts, rounds, budget,
                            n_docs, tag)
+        if r_big is None:
+            continue
         post = steal_probe()
+        post_sc = syscall_probe()
 
         def best_round_sys(r):
             # sys_pct of the round the best-round metric comes from
@@ -111,7 +132,9 @@ def main():
             return r["round_cpu"][i]["sys_pct"]
 
         sys_small, sys_big = best_round_sys(r_small), best_round_sys(r_big)
+        sc_vals = [x for x in (pre_sc, mid_sc, post_sc) if x >= 0]
         clean = (max(pre, mid, post) <= GATE
+                 and (not sc_vals or min(sc_vals) >= SYSCALL_MIN)
                  and max(sys_small, sys_big) <= SYS_GATE)
         eff = (r_big["urls_per_sec"] / r_small["urls_per_sec"]) / (N_BIG / N_SMALL)
         eff_best = (r_big["best_round_urls_per_sec"]
@@ -119,6 +142,7 @@ def main():
         pair = {
             "pair": attempt, "clean": clean,
             "steal_pre": pre, "steal_mid": mid, "steal_post": post,
+            "syscall_rts": {"pre": pre_sc, "mid": mid_sc, "post": post_sc},
             "sys_pct_best_round": {"small": sys_small, "big": sys_big},
             "small": r_small, "big": r_big,
             "efficiency": round(eff, 3),
@@ -127,6 +151,12 @@ def main():
         pairs.append(pair)
         print(json.dumps(pair), flush=True)
 
+    if not pairs:
+        print(json.dumps({"mode": "patient", "pairs_run": 0,
+                          "result": "no pair completed inside the "
+                                    "deadline (host never went quiet)"}),
+              flush=True)
+        return
     usable = [p for p in pairs if p["clean"]] or pairs
     # the equal-window best-round comparison is the defensible number:
     # kernel stalls strike individual rounds asymmetrically, and every
