@@ -18,7 +18,6 @@ from pyspark.sql.types import ArrayType, IntegerType, StringType, BooleanType
 from pyspark.sql.types import LongType
 
 from .cjk import _CJK_RANGES
-from .links import extract_urls_series
 from .tokenizer import STOP_WORDS, tokenize_series
 from .urlnorm import canonicalize_series, edition_series, host_series
 
@@ -42,11 +41,6 @@ def host_udf(urls: pd.Series) -> pd.Series:
 @pandas_udf(LongType())
 def edition_udf(urls: pd.Series) -> pd.Series:
     return edition_series(urls)
-
-
-@pandas_udf(ArrayType(StringType()))
-def extract_urls_udf(texts: pd.Series) -> pd.Series:
-    return extract_urls_series(texts)
 
 
 # ---- JVM-side expression builders -----------------------------------------

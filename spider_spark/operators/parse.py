@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.udfs import extract_urls_udf, keep_token, tokenize_udf
+from ..functions.links import extract_urls_col
+from ..functions.udfs import keep_token, tokenize_udf
 from ..oracle.simulator import INT32_MIN, REDIRECT_MARK
 
 
@@ -199,7 +200,7 @@ def outlinks(spans: DataFrame) -> DataFrame:
     )
     text_urls = (
         spans.filter((F.col("kind") == "text") & F.col("text").isNotNull())
-        .withColumn("_urls", extract_urls_udf("text"))
+        .withColumn("_urls", extract_urls_col(F.col("text")))
         .select(
             F.col("id").alias("discoverer_id"),
             F.col("offset").alias("span_offset"),

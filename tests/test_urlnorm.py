@@ -56,3 +56,38 @@ def test_host_path():
     assert extract_host("http://a.com:8080/x") == "a.com:8080"
     assert extract_host("http://A.com/x") == "a.com"
     assert extract_path("http://a.com/x/y?q=1") == "/x/y"
+
+
+def test_extract_urls_col_matches_python(spark):
+    """The JVM regexp twin of extract_urls (the engine's outlink scan,
+    round 4: last non-tokenizer Python hop removed) is bit-identical
+    to the Python kernel the oracle uses — including the Unicode-vs-
+    ASCII \\s divergence (NBSP etc. must TERMINATE a URL in both) and
+    trailing-punctuation stripping."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.functions.links import extract_urls, extract_urls_col
+
+    texts = [
+        "see http://a.com/x and https://B.org/y?q=1.",
+        "wrapped (http://c.net/z), trailing http://d.io/w!?;:",
+        "nbsp http://e.com/a\xa0tail and linesep http://f.com/b x",
+        "infosep http://g.com/c\x1c\x1dmore",
+        "bare http:// and xhttp://h.com/k glued",
+        "HTTP://UPPER.example/PATH'",
+        "no urls here at all",
+        "",
+        None,
+        "multi http://m.com/1 http://m.com/2 http://m.com/3",
+        "tab\thttp://t.com/q\tend newline http://n.com/r\nnext",
+        "cjk 天地http://cjk.example/字 mixed",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["u"] for r in df.select(
+        extract_urls_col(F.col("text")).alias("u")).collect()]
+    want = [extract_urls(t) if t else [] for t in texts]
+    assert got == want
+    # pure codegen: no Python stage in the plan
+    plan = df.select(extract_urls_col(F.col("text")).alias("u")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
