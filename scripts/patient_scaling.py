@@ -57,23 +57,34 @@ def run_worker(size, corpus, n_hosts, rounds, budget, n_docs, tag):
     """One worker run; returns its result dict, or None if the worker
     timed out (a stalled-host window — burn no more time on it) or
     died.  A None poisons the pair, which is recorded as dirty."""
+    # own process group: on timeout the WHOLE tree dies (the JVM is a
+    # grandchild — subprocess.run's timeout would orphan it and the
+    # leaked executor poisons every later measurement window)
+    proc = subprocess.Popen(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "_scaling_worker.py"),
+         str(size), corpus, str(n_hosts), str(rounds), str(budget),
+         str(n_docs)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        start_new_session=True,
+    )
     try:
-        out = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "_scaling_worker.py"),
-             str(size), corpus, str(n_hosts), str(rounds), str(budget),
-             str(n_docs)],
-            capture_output=True, text=True, timeout=WORKER_TIMEOUT,
-        )
+        stdout, stderr = proc.communicate(timeout=WORKER_TIMEOUT)
     except subprocess.TimeoutExpired:
+        import signal
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait()
         print(json.dumps({"worker_timeout": size, "tag": tag}), flush=True)
         return None
     with open(os.path.join(SCRATCH, f"worker_{size}_{tag}.stderr"), "w") as f:
-        f.write(out.stderr)
-    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        f.write(stderr)
+    lines = [l for l in stdout.splitlines() if l.startswith("{")]
     if not lines:
-        print(out.stderr[-3000:], file=sys.stderr)
+        print(stderr[-3000:], file=sys.stderr)
         return None
     return json.loads(lines[-1])
 
