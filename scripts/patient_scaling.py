@@ -39,10 +39,13 @@ GATE = float(os.environ.get("SPIDER_SCALE_GATE", "2.0"))
 # records per-round sys_pct, and a pair is only clean if the best
 # round on BOTH sides ran below this kernel-time share
 SYS_GATE = float(os.environ.get("SPIDER_SCALE_SYS_GATE", "12.0"))
-# pre-gate for the SAME mode: socketpair round-trips/s/pair (clean
-# >100k here, stalled ~10k measured).  steal_probe alone cannot see
-# invisible steal on the syscall path
-SYSCALL_MIN = float(os.environ.get("SPIDER_SCALE_SYSCALL_MIN", "60000"))
+# pre-gate for the SAME mode: socketpair round-trips/s/pair.
+# CALIBRATED on this box: clean windows measure ~18-25k (virtio
+# syscall overhead; a fixed Arrow-UDF reference job runs at full
+# speed at 18.5k), stalled windows drop to ~3-13k while the same job
+# runs 10-50x slow.  steal_probe alone cannot see invisible steal on
+# the syscall path
+SYSCALL_MIN = float(os.environ.get("SPIDER_SCALE_SYSCALL_MIN", "15000"))
 PAIRS = int(os.environ.get("SPIDER_SCALE_PAIRS", "3"))
 DEADLINE_MIN = float(os.environ.get("SPIDER_SCALE_DEADLINE_MIN", "150"))
 N_SMALL = int(os.environ.get("SPIDER_SCALE_N", "7"))

@@ -49,9 +49,10 @@ def syscall_probe(npairs: int = 4) -> float:
     vCPUs on the syscall/wakeup path shows up as guest SYS time with
     the steal counter at 0 (pure-CPU spins keep their cores, so
     steal_probe reads clean while IPC-heavy Spark work runs 10-50x
-    slow).  Clean windows on this box measure >100k rt/s/pair;
-    stalled windows drop well under 20k.  -1.0 if the probe cannot
-    run."""
+    slow).  Calibrated on this box: clean windows measure ~18-25k
+    rt/s/pair (virtio syscall overhead — a fixed Arrow-UDF reference
+    job runs at full speed at 18.5k), stalled windows ~3-13k.  -1.0
+    if the probe cannot run."""
     try:
         kids = []
         outs = mp.Queue()
