@@ -125,15 +125,20 @@ def main():
             continue
         attempt += 1
         tag = f"p{attempt}"
-        r_small = run_worker(N_SMALL, corpus, n_hosts, rounds, budget,
-                             n_docs, tag)
-        if r_small is None:
-            continue
-        mid = steal_probe()
-        mid_sc = syscall_probe()
+        # big side FIRST: it needs the shortest clean stretch (~4 min
+        # vs ~9 for the small side) and observed interference windows
+        # open/close on ~10-minute scales — give the scarce
+        # start-of-window slot to the side that dies hardest in a stall
+        # (28-way concurrency amplifies the syscall-path degradation)
         r_big = run_worker(N_BIG, corpus, n_hosts, rounds, budget,
                            n_docs, tag)
         if r_big is None:
+            continue
+        mid = steal_probe()
+        mid_sc = syscall_probe()
+        r_small = run_worker(N_SMALL, corpus, n_hosts, rounds, budget,
+                             n_docs, tag)
+        if r_small is None:
             continue
         post = steal_probe()
         post_sc = syscall_probe()
