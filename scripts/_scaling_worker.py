@@ -158,7 +158,19 @@ def main() -> None:
                                   n_seeds=budget * (rounds + 2)))
     # warm-up round: JIT, UDF worker pools, shuffle service — excluded
     # from the measured window on both runs identically
+    tw = time.time()
     eng.run_round()
+    warmup_s = time.time() - tw
+    # hunt mode: a stalled host window shows up immediately as a slow
+    # warm-up (clean 28-core warmups run ~40s, stalled ones 200-300s).
+    # Bailing here turns a wasted ~10-minute dirty attempt into ~90s,
+    # so the hunter can sample many more candidate windows per hour.
+    abort_s = float(os.environ.get("SPIDER_SCALE_ABORT_WARMUP_S", "0"))
+    if abort_s > 0 and warmup_s > abort_s:
+        print(json.dumps({"aborted": "warmup_slow", "size": size,
+                          "warmup_s": round(warmup_s, 1)}))
+        spark.stop()
+        return
     # per-round wall times: single-host noise arrives as multi-second
     # asymmetric spikes (see BENCH.md forensics), so alongside the
     # whole-window number we report per-round throughput — the minimum
@@ -192,6 +204,7 @@ def main() -> None:
         "mode": MODE,
         "size": size,
         "cores": cores,
+        "warmup_s": round(warmup_s, 1),
         "rounds": rounds,
         "fetched": fetched,
         "seconds": round(secs, 2),

@@ -18,7 +18,7 @@ from pyspark.sql.types import ArrayType, IntegerType, StringType, BooleanType
 from pyspark.sql.types import LongType
 
 from .cjk import _CJK_RANGES
-from .tokenizer import STOP_WORDS, tokenize_series
+from .tokenizer import KEEP_NON_LETTER_MIN_CHARS, STOP_WORDS, tokenize_series
 from .urlnorm import canonicalize_series, edition_series, host_series
 
 
@@ -26,6 +26,60 @@ from .urlnorm import canonicalize_series, edition_series, host_series
 def tokenize_udf(texts: pd.Series) -> pd.Series:
     """Exact SearchTokenizer automaton, pairs=False (Spider.java:682-684)."""
     return tokenize_series(texts, return_pairs=False)
+
+
+# str.isascii as a Java regex (every char <= U+007F)
+_ASCII_ONLY_RE = r"^[\x00-\x7F]*$"
+# the ASCII fast path's candidate-run shape (tokenizer._ASCII_RUN)
+_ASCII_RUN_RE = "[a-z0-9][a-z0-9']*"
+
+
+def tokenize_ascii_col(text: Column) -> Column:
+    """JVM-expression twin of the tokenizer's ASCII fast path
+    (functions/tokenizer.py:_tokenize_ascii) — valid ONLY for ASCII
+    input, where the automaton reduces to: candidate runs are maximal
+    ``[a-z0-9][a-z0-9']*`` matches over the lowered text; a run is
+    emitted iff it contains a letter, its raw length (trailing
+    apostrophes included) is >= 3, or it is the final run and reaches
+    end-of-string (SearchTokenizer.java:104-108's flush quirk); the
+    token is the run with trailing apostrophes stripped.  Stays inside
+    whole-stage codegen — no Arrow hop, no Python worker.
+
+    Equivalence with the Python path on ASCII input is pinned by
+    tests/test_tokenizer.py (fast path ≡ automaton property test plus
+    the Spark-side hybrid equivalence test)."""
+    lowered = F.lower(text)
+    runs = F.regexp_extract_all(lowered, F.lit(_ASCII_RUN_RE), F.lit(0))
+    # maximal matching makes "a run ends at end-of-string" equivalent
+    # to "some run-shaped suffix exists"; \z, not $ — Java's $ also
+    # matches before a final line terminator, which is NOT end-of-input
+    # for the automaton's flush rule
+    last_at_end = lowered.rlike(_ASCII_RUN_RE + "\\z")
+    n = F.size(runs)
+    indexed = F.transform(
+        runs, lambda r, i: F.struct(r.alias("r"), i.alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: s["r"].rlike("[a-z]")
+        | (F.length(s["r"]) >= KEEP_NON_LETTER_MIN_CHARS)
+        | ((s["i"] == n - 1) & last_at_end),
+    )
+    return F.transform(kept, lambda s: F.regexp_replace(s["r"], "'+$", ""))
+
+
+def tokens_col(text: Column) -> Column:
+    """Hybrid tokenizer: ASCII rows take the JVM expression twin,
+    anything else falls back to the exact automaton UDF.  The fallback
+    is fed NULL for ASCII rows, so on an all-ASCII corpus the extracted
+    ArrowEvalPython node transfers a null column and returns empty
+    arrays — the Python bridge carries no payload in the hot path
+    (the web-scale common case), yet non-ASCII text still gets
+    bit-exact CJK automaton parity."""
+    is_ascii = text.rlike(_ASCII_ONLY_RE)
+    return F.when(is_ascii, tokenize_ascii_col(text)).otherwise(
+        tokenize_udf(F.when(is_ascii, F.lit(None)).otherwise(text))
+    )
 
 
 @pandas_udf(StringType())

@@ -7,7 +7,9 @@ as DataFrame operators over exploded spans:
                      (single '__redirect__' media span) split off first
   D3 title capture — LAST valid (non-empty, single-line) title span wins
                      (page.setPageTitle overwrites, Spider.java:672-681)
-  D4 tokenizer     — Arrow-batched automaton UDF (the one Python hop)
+  D4 tokenizer     — hybrid: JVM expression twin for ASCII spans (the
+                     web-scale common case, zero Python), Arrow-batched
+                     automaton UDF for the non-ASCII remainder
   D5 positions     — title tokens at INT32_MIN+i; body tokens at a
                      per-doc running counter starting at 1 that SKIPS
                      title spans (Spider.java:686-704) — a window
@@ -27,7 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.links import extract_urls_col
-from ..functions.udfs import keep_token, tokenize_udf
+from ..functions.udfs import keep_token, tokens_col
 from ..oracle.simulator import INT32_MIN, REDIRECT_MARK
 
 
@@ -115,7 +117,7 @@ def tokenized_spans(spans: DataFrame) -> DataFrame:
     )
     ts = (
         text_spans.withColumn("is_title", is_title)
-        .withColumn("tokens", tokenize_udf("text"))
+        .withColumn("tokens", tokens_col(F.col("text")))
         .withColumn("n_tok", F.size("tokens"))
     )
     # body position base: 1 + tokens of PRIOR body spans (title spans do

@@ -212,3 +212,48 @@ def test_ascii_fast_path_speedup():
     assert fast == slow
     ratio = min(t_slow) / min(t_fast)
     assert ratio >= 2, f"fast path only {ratio:.1f}x"
+
+
+def test_jvm_ascii_twin_matches_python(spark):
+    """The JVM-expression ASCII twin (udfs.tokenize_ascii_col, used via
+    the tokens_col hybrid in the parse hot path) must agree with the
+    Python tokenizer on every input: ASCII rows take the expression,
+    non-ASCII rows fall back to the automaton UDF.  Covers the fast
+    path's documented quirks (end-of-string flush, apostrophe glue and
+    strip, digit-run length rule) plus seeded random ASCII soup."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from spider_spark.functions.udfs import tokens_col
+
+    cases = [
+        "", "'", "''", "'''", "a", "ab", "abc",
+        "1", "12", "123", "1234", "a1", "1a",
+        "don't", "don't ", "'tis", "''tis", "rock'n'roll", "abc'''",
+        "ab'c'", "12'3", "1'2", "1''", "12' x", "12 x",
+        "a1 12 b", "a1 12", "foo 12'", "foo 12 ",
+        # trailing line terminator: Java $ would falsely treat the run
+        # as end-of-string-flushed; \z must not
+        "0\n", "b 1\n", "12\n", "12\r\n", "a 9b1,-1\n",
+        "hello, world!", "hello\nworld", "hello\tworld  ",
+        "HeLLo WoRLD", "'don't' o'brien",
+        "x" * 300, ("ab1' " * 40).strip(),
+        # non-ASCII → automaton fallback
+        "héllo", "一二三四", "abc一二def", "naïve café", "𣎴",
+        "mixed ascii 然后 more",
+    ]
+    rng = random.Random(42)
+    alphabet = "abz019'  .,\n\t!-_"
+    cases += ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+              for _ in range(250)]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "i int, text string"
+    )
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", tokens_col(F.col("text")).alias("toks")).collect()
+    }
+    for i, t in enumerate(cases):
+        assert got[i] == tokenize(t), f"case {i}: {t!r}"
