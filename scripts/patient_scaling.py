@@ -56,10 +56,14 @@ SCRATCH = os.environ.get("SPIDER_SCALE_TMP", "/dev/shm/spider_scale")
 WORKER_TIMEOUT = int(os.environ.get("SPIDER_SCALE_WORKER_TIMEOUT", "1800"))
 
 
-def run_worker(size, corpus, n_hosts, rounds, budget, n_docs, tag):
+def run_worker(size, corpus, n_hosts, rounds, budget, n_docs, tag,
+               timeout=None):
     """One worker run; returns its result dict, or None if the worker
     timed out (a stalled-host window — burn no more time on it) or
-    died.  A None poisons the pair, which is recorded as dirty."""
+    died.  A None poisons the pair, which is recorded as dirty.
+    `timeout` overrides WORKER_TIMEOUT (the hunter caps the 4N side
+    tighter: a clean 4N run fits in ~3 min, so anything longer is a
+    stalled window not worth riding out)."""
     # own process group: on timeout the WHOLE tree dies (the JVM is a
     # grandchild — subprocess.run's timeout would orphan it and the
     # leaked executor poisons every later measurement window)
@@ -73,7 +77,7 @@ def run_worker(size, corpus, n_hosts, rounds, budget, n_docs, tag):
         start_new_session=True,
     )
     try:
-        stdout, stderr = proc.communicate(timeout=WORKER_TIMEOUT)
+        stdout, stderr = proc.communicate(timeout=timeout or WORKER_TIMEOUT)
     except subprocess.TimeoutExpired:
         import signal
         try:

@@ -43,6 +43,11 @@ from spider_spark.sources.bench_corpus import build_bench_corpus  # noqa: E402
 
 DEADLINE_MIN = float(os.environ.get("SPIDER_SCALE_DEADLINE_MIN", "240"))
 ABORT_WARMUP_S = os.environ.get("SPIDER_SCALE_ABORT_WARMUP_S", "90")
+# hard kill for the 4N probe attempt: a clean 28-core run (startup +
+# warm-up + 2 measured rounds) fits in ~3 minutes; a worker still alive
+# at this age sits in a stalled window (490s warm-ups observed) and the
+# time is better spent re-probing for the next window
+BIG_TIMEOUT_S = int(os.environ.get("SPIDER_SCALE_BIG_TIMEOUT", "420"))
 
 
 def best_round_sys(r):
@@ -87,7 +92,7 @@ def main():
         tag = f"h{attempt}"
         os.environ["SPIDER_SCALE_ABORT_WARMUP_S"] = ABORT_WARMUP_S
         r_big = run_worker(N_BIG, corpus, n_hosts, rounds, budget,
-                           n_docs, tag)
+                           n_docs, tag, timeout=BIG_TIMEOUT_S)
         os.environ["SPIDER_SCALE_ABORT_WARMUP_S"] = "0"
         if r_big is None or r_big.get("aborted"):
             print(json.dumps({"attempt": attempt,

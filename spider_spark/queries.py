@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 
 from .analytics import dedup, multimodal, similarity, text
 from .config import CrawlConfig
-from .functions.udfs import keep_token, tokenize_udf
+from .functions.udfs import (
+    _ASCII_ONLY_RE, keep_token, tokenize_ascii_col, tokenize_udf,
+)
 
 # ---------------------------------------------------------------------------
 # shared derivations
@@ -331,6 +333,59 @@ def q_tokenizer_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenizer_ascii_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 hot path: the JVM-expression ASCII tokenizer twin
+    (udfs.tokenize_ascii_col — the zero-Python path the parse operator
+    takes for ASCII spans), hash-checked against an independent RE2
+    re-implementation of the same automaton reduction in DuckDB.
+    Restricted to ASCII documents on BOTH sides (the expression's
+    validity domain; the driver's sf0.01 corpus is 100% ASCII so
+    nothing is excluded there)."""
+    d = _load(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(_ASCII_ONLY_RE))
+    toks = d.select(
+        "doc_id",
+        F.explode(tokenize_ascii_col(F.col("text"))).alias("term"),
+    ).filter(keep_token(F.col("term")))
+    return toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("indexable_tokens"),
+        F.countDistinct("term").cast("long").alias("distinct_terms"),
+    )
+
+
+# independent implementation of the ASCII automaton reduction in
+# DuckDB's RE2 + list lambdas: maximal [a-z0-9][a-z0-9']* runs, keep a
+# run iff it has a letter / raw length >= 3 / it is the final run and
+# the text ends in a run (RE2's $ is true end-of-text, matching the
+# Java-side \z), strip trailing apostrophes, then the stop-word +
+# length-3 indexability filter on the stripped token.
+SQL_TOKENIZER_ASCII_JVM = r"""
+    WITH a AS (
+      SELECT doc_id, lower(text) AS lt FROM documents
+      WHERE regexp_matches(text, '^[\x00-\x7F]*$')
+    ), r AS (
+      SELECT doc_id,
+             regexp_extract_all(lt, '[a-z0-9][a-z0-9'']*') AS rs,
+             regexp_matches(lt, '[a-z0-9][a-z0-9'']*$') AS at_end
+      FROM a
+    ), t AS (
+      SELECT doc_id,
+        unnest(list_transform(
+          list_filter(rs, (x, i) ->
+            regexp_matches(x, '[a-z]') OR length(x) >= 3
+            OR (i = len(rs) AND at_end)),
+          x -> regexp_replace(x, '''+$', ''))) AS term
+      FROM r
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS indexable_tokens,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS distinct_terms
+    FROM t
+    WHERE length(term) >= 3
+      AND term NOT IN ('the','and','for','have','that')
+    GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-pipeline: dedup
 
@@ -517,14 +572,72 @@ SQL_QUALITY_SCORES = r"""
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID heuristic (rows-only: the n-gram/script kernel is not
-    SQL-expressible)."""
+    """Language ID heuristic, hash-checked against a full DuckDB
+    re-implementation of the kernel (script-range counts, stop-word
+    voting, identical tie-breaks)."""
     d = _load(spark, sf_dir, "documents")
     return (
         d.withColumn("pred_lang", text.lang_id_udf(F.col("text")))
         .groupBy("pred_lang")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+# independent DuckDB re-implementation of analytics/text.lang_id:
+# script classification = per-range codepoint counts (keep-only
+# regexp_replace + length), best script by (count, code) DESC — the
+# struct list_sort mirrors Python's max((n, code)) tie-break exactly;
+# stop-word voting splits on the FULL Unicode whitespace class so the
+# twin matches str.split() (RE2's \s is ASCII-only — the divergence
+# class ADVICE r3 flagged on the fingerprint twin).
+_LANG_WS = (r"[\t\n\x0b\f\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}"
+            r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}"
+            r"\x{3000}]+")
+
+
+def _vote_sql(code: str, words: frozenset[str]) -> str:
+    in_list = ",".join(f"''{w}''" if "'" in w else f"'{w}'"
+                       for w in sorted(words))
+    return ("{'n': len(list_filter(string_split_regex(lower(t), "
+            f"'{_LANG_WS}'), x -> x IN ({in_list}))), 'c': '{code}'}}")
+
+
+SQL_LANG_ID = r"""
+    WITH s AS (
+      SELECT doc_id, text, substr(text, 1, 2000) AS t FROM documents
+    ), counts AS (
+      SELECT doc_id, text, t,
+        length(regexp_replace(t, '[^\x41-\x7a]', '', 'g')) AS latin,
+        list_sort([
+          {'n': length(regexp_replace(t, '[^\x{4e00}-\x{9fff}]', '', 'g')), 'c': 'zh'},
+          {'n': length(regexp_replace(t, '[^\x{3040}-\x{30ff}]', '', 'g')), 'c': 'ja'},
+          {'n': length(regexp_replace(t, '[^\x{ac00}-\x{d7af}]', '', 'g')), 'c': 'ko'},
+          {'n': length(regexp_replace(t, '[^\x{0400}-\x{04ff}]', '', 'g')), 'c': 'ru'},
+          {'n': length(regexp_replace(t, '[^\x{0600}-\x{06ff}]', '', 'g')), 'c': 'ar'},
+          {'n': length(regexp_replace(t, '[^\x{0590}-\x{05ff}]', '', 'g')), 'c': 'he'},
+          {'n': length(regexp_replace(t, '[^\x{0370}-\x{03ff}]', '', 'g')), 'c': 'el'},
+          {'n': length(regexp_replace(t, '[^\x{0e00}-\x{0e7f}]', '', 'g')), 'c': 'th'},
+          {'n': length(regexp_replace(t, '[^\x{0900}-\x{097f}]', '', 'g')), 'c': 'hi'}
+        ], 'DESC')[1] AS sb
+      FROM s
+    ), votes AS (
+      SELECT doc_id, text, t, latin, sb,
+        list_sort([__VOTES__], 'DESC')[1] AS vb
+      FROM counts
+    ), pred AS (
+      SELECT doc_id,
+        CASE WHEN text IS NULL OR t = '' THEN 'und'
+             WHEN sb.n > 0 AND sb.n * 4 >= latin THEN sb.c
+             WHEN vb.n > 0 THEN vb.c
+             WHEN latin > 0 THEN 'en' ELSE 'und' END AS pred_lang
+      FROM votes
+    )
+    SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY pred_lang
+""".replace("__VOTES__", ",\n          ".join([
+    _vote_sql("en", text._EN_TOP), _vote_sql("de", text._DE_TOP),
+    _vote_sql("fr", text._FR_TOP), _vote_sql("es", text._ES_TOP),
+]))
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_doc_stats": q_term_doc_stats,
         "tf_relevance": q_tf_relevance,
         "tokenizer_automaton": q_tokenizer_automaton,
+        "tokenizer_ascii_jvm": q_tokenizer_ascii_jvm,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -738,6 +852,7 @@ def oracle_sql() -> dict[str, str]:
         "term_doc_stats": SQL_TERM_DOC_STATS,
         "tf_relevance": SQL_TF_RELEVANCE,
         # tokenizer_automaton: rows-only (CJK automaton not ANSI SQL)
+        "tokenizer_ascii_jvm": SQL_TOKENIZER_ASCII_JVM,
         "dedup_exact": SQL_DEDUP_EXACT,
         # dedup_minhash / dedup_simhash: rows-only (probabilistic signatures)
         "ngram_jaccard": SQL_NGRAM_JACCARD,
@@ -746,7 +861,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "token_counts": SQL_TOKEN_COUNTS,
         "quality_scores": SQL_QUALITY_SCORES,
-        # lang_id / fingerprints: rows-only (non-SQL kernels)
+        "lang_id": SQL_LANG_ID,
+        # fingerprints: rows-only (xxhash64 has no DuckDB twin)
         "event_windows": SQL_EVENT_WINDOWS,
         "event_sessions": SQL_EVENT_SESSIONS,
         "pricing_summary": SQL_PRICING_SUMMARY,
