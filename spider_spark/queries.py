@@ -743,6 +743,62 @@ SQL_EVENT_SESSIONS = """
 """
 
 
+def q_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL streaming operator under the driver's hash
+    gate: the applyInPandasWithState per-host politeness token bucket
+    (streaming/events.politeness_gate) run available-now over URL
+    candidates derived from the events table.  Its deterministic
+    event-time semantics equal a batch window-rank, which is the DuckDB
+    oracle — an ANSI-SQL check of a stateful streaming operator."""
+    import tempfile
+
+    from spider_spark.streaming.events import (
+        politeness_gate, run_available_now,
+    )
+
+    e = _load(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull())
+    host = F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string"))
+    cand = e.select(
+        host.alias("host"),
+        F.concat(F.lit("http://"), host, F.lit(".example/"),
+                 F.col("event_id").cast("string")).alias("url"),
+        F.unix_timestamp("ts").alias("t_epoch"),
+    )
+    d = tempfile.mkdtemp(prefix="polite_gate_")
+    cand.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema("host string, url string, t_epoch long") \
+        .parquet(d)
+    q = run_available_now(politeness_gate(stream, quota=2, window_s=3600),
+                          "t_polite_gate_q", output_mode="append")
+    out = spark.table("t_polite_gate_q").select(
+        "host", "url", "t_epoch", "win", "slot").localCheckpoint()
+    q.stop()
+    return out
+
+
+SQL_POLITENESS_GATE = """
+    WITH cand AS (
+      SELECT 'h' || CAST(user_id % 37 AS VARCHAR) AS host,
+             'http://h' || CAST(user_id % 37 AS VARCHAR) || '.example/'
+               || CAST(event_id AS VARCHAR) AS url,
+             ts
+      FROM events
+      WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        AND ts IS NOT NULL
+    ), ranked AS (
+      SELECT host, url, CAST(floor(epoch(ts)) AS BIGINT) AS t_epoch,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win,
+             CAST(row_number() OVER (
+               PARTITION BY host, floor(epoch(ts) / 3600)
+               ORDER BY floor(epoch(ts)), url) AS BIGINT) AS slot
+      FROM cand
+    )
+    SELECT host, url, t_epoch, win, slot FROM ranked WHERE slot <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational breadth (TPC-H-ish shapes over the star schema)
 
@@ -834,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "event_windows": q_event_windows,
         "event_sessions": q_event_sessions,
+        "politeness_gate": q_politeness_gate,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
     }
@@ -865,6 +922,7 @@ def oracle_sql() -> dict[str, str]:
         # fingerprints: rows-only (xxhash64 has no DuckDB twin)
         "event_windows": SQL_EVENT_WINDOWS,
         "event_sessions": SQL_EVENT_SESSIONS,
+        "politeness_gate": SQL_POLITENESS_GATE,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_customers": SQL_TOP_CUSTOMERS,
     }

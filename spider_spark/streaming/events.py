@@ -7,6 +7,14 @@ engine needs anyway:
 
   * file-source event stream → watermarked tumbling-window aggregation
     (the streaming twin of queries.q_event_windows)
+  * gap-based sessionization via the built-in session_window — the
+    streaming twin of queries.q_event_sessions (Catalyst's native
+    merging-session state store; no custom state code needed)
+  * a CUSTOM stateful operator via applyInPandasWithState: a per-host
+    politeness token bucket over a URL-candidate stream (the north
+    rule's "per-host politeness buckets" as a streaming gate) — state
+    carried across micro-batches, deterministic event-time semantics
+    (equal to a batch window-rank, which is its DuckDB oracle)
   * foreachBatch bridge that feeds micro-batches of URL candidates into
     the crawl admission pipeline — Spider's USK-subscription push
     source (Spider.java:757-771) re-expressed as a stream of
@@ -15,8 +23,10 @@ engine needs anyway:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -62,13 +72,111 @@ def stream_event_windows(
     )
 
 
-def run_available_now(result: DataFrame, query_name: str = "events_agg"):
+def stream_event_sessions(
+    spark: SparkSession,
+    source_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization on a stream via the built-in
+    ``session_window`` (Spark's native merging-session state store) —
+    the streaming twin of queries.q_event_sessions.  The session
+    window's end is last-event-ts + gap, so ``t_last_epoch`` (end − gap)
+    equals the batch query's max(ts) per session."""
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.unix_timestamp(F.min("ts")).alias("t_start_epoch"),
+             F.unix_timestamp(F.max("ts")).alias("t_last_epoch"))
+        .select("user_id", "t_start_epoch", "t_last_epoch", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: per-host politeness token bucket
+
+# input: (host string, url string, t_epoch long) — epoch seconds, not
+# a timestamp column, so the Arrow/pandas hop never touches timezone
+# localization (naive-vs-UTC drift between Spark sessions and DuckDB)
+POLITE_OUT_SCHEMA = StructType([
+    StructField("host", StringType()),
+    StructField("url", StringType()),
+    StructField("t_epoch", LongType()),
+    StructField("win", LongType()),
+    StructField("slot", LongType()),
+])
+
+POLITE_STATE_SCHEMA = StructType([
+    StructField("win", LongType()),
+    StructField("used", LongType()),
+])
+
+
+def politeness_gate(
+    candidates: DataFrame, quota: int = 2, window_s: int = 3600
+) -> DataFrame:
+    """Per-host politeness token bucket over a (host, url, t_epoch)
+    URL stream — applyInPandasWithState keyed by host.  Admits at most
+    ``quota`` URLs per host per event-time window of ``window_s``
+    seconds; ``(win, used)`` state carries across micro-batches so a
+    host that spent its budget in batch k stays throttled in batch
+    k+1 (tests/test_streaming.py pins the carry-over).
+
+    The event-time semantics are deterministic: with candidates
+    processed in (t_epoch, url) order, the admitted set equals the
+    batch ``row_number() OVER (PARTITION BY host, win ORDER BY
+    t_epoch, url) <= quota`` — which is exactly the DuckDB oracle the
+    driver checks (queries.SQL_POLITENESS_GATE)."""
+
+    def gate(key, pdfs, state: GroupState):
+        host = key[0]
+        if state.exists:
+            win, used = state.get
+        else:
+            win, used = None, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["t_epoch", "url"], kind="mergesort")
+        out_host, out_url, out_te, out_win, out_slot = [], [], [], [], []
+        for te, url in zip(rows["t_epoch"], rows["url"]):
+            te = int(te)
+            w = te // window_s
+            if w != win:
+                win, used = w, 0
+            if used < quota:
+                used += 1
+                out_host.append(host)
+                out_url.append(url)
+                out_te.append(te)
+                out_win.append(w)
+                out_slot.append(used)
+        state.update((win if win is not None else -1, used))
+        # empty-batch dtypes must match the declared schema exactly
+        yield pd.DataFrame({
+            "host": pd.Series(out_host, dtype="object"),
+            "url": pd.Series(out_url, dtype="object"),
+            "t_epoch": pd.Series(out_te, dtype="int64"),
+            "win": pd.Series(out_win, dtype="int64"),
+            "slot": pd.Series(out_slot, dtype="int64"),
+        })
+
+    return candidates.groupBy("host").applyInPandasWithState(
+        gate, POLITE_OUT_SCHEMA, POLITE_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(result: DataFrame, query_name: str = "events_agg",
+                      output_mode: str = "complete"):
     """Drain everything currently available into an in-memory sink and
-    stop — the deterministic test/batch-parity mode."""
+    stop — the deterministic test/batch-parity mode.  Stateful
+    operators declared append-mode (politeness_gate) must pass
+    ``output_mode='append'``."""
     q = (
         result.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

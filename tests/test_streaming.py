@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 
 from spider_spark.streaming.events import (
     EditionStream,
+    politeness_gate,
     run_available_now,
+    stream_event_sessions,
     stream_event_windows,
 )
 
@@ -43,6 +45,69 @@ def test_stream_window_agg_matches_batch(spark, events_dir):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_stream_sessions_match_batch(spark, events_dir, sf_dir):
+    """The session_window streaming twin must reproduce the batch
+    lag+running-sum sessionization exactly (t_last = max(ts), which is
+    the session_window end minus the gap)."""
+    from spider_spark.queries import q_event_sessions
+
+    result = stream_event_sessions(spark, events_dir)
+    q = run_available_now(result, "t_stream_sessions")
+    streamed = {
+        (r["user_id"], r["t_start_epoch"], r["t_last_epoch"], r["n_events"])
+        for r in spark.sql("SELECT * FROM t_stream_sessions").collect()
+    }
+    q.stop()
+    batch = {
+        (r["user_id"], r["t_start_epoch"], r["t_end_epoch"], r["n_events"])
+        for r in q_event_sessions(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+def test_politeness_gate_state_carries_across_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): a host that spends its
+    window quota in batch 1 must stay throttled in batch 2 (state
+    carry-over), and a new event-time window must refill the bucket."""
+    import time as _time
+
+    cols = "host string, url string, t_epoch long"
+    d = str(tmp_path / "cand")
+    batch1 = [
+        ("h1", "http://h1/a", 36000),
+        ("h1", "http://h1/b", 36060),
+        ("h1", "http://h1/c", 36120),  # over quota
+    ]
+    batch2 = [
+        ("h1", "http://h1/d", 36600),  # same window: reject
+        ("h1", "http://h1/e", 39900),  # new window: admit
+        ("h2", "http://h2/a", 37800),  # own bucket: admit
+    ]
+    spark.createDataFrame(batch1, cols).coalesce(1).write.mode(
+        "overwrite").parquet(d)
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    spark.createDataFrame(batch2, cols).coalesce(1).write.mode(
+        "append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    gated = politeness_gate(stream, quota=2, window_s=3600)
+    q = run_available_now(gated, "t_polite", output_mode="append")
+    rows = {(r["host"], r["url"]): r["slot"]
+            for r in spark.sql("SELECT * FROM t_polite").collect()}
+    q.stop()
+    assert rows == {
+        ("h1", "http://h1/a"): 1,
+        ("h1", "http://h1/b"): 2,
+        ("h1", "http://h1/e"): 1,
+        ("h2", "http://h2/a"): 1,
+    }
 
 
 def test_edition_stream_forces_requeue(spark, corpus_dir, corpus, crawl_config,
