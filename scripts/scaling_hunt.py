@@ -64,17 +64,23 @@ def main():
     n_hosts = max(4, int(n_docs ** 0.5) // 4)
 
     os.makedirs(SCRATCH, exist_ok=True)
-    corpus = os.path.join(
-        tempfile.mkdtemp(prefix="hunt_corpus_", dir=SCRATCH),
-        "documents.parquet")
-    spark = get_spark(app_name="hunt_corpus_build")
-    spark.sparkContext.setLogLevel("ERROR")
-    build_bench_corpus(
-        spark, n_docs, corpus,
-        tokens_per_span=int(os.environ.get("SPIDER_SCALE_TOKENS", "1200")),
-        n_hosts=n_hosts,
-        partitions=int(os.environ.get("SPIDER_SCALE_CORPUS_PARTS", "224")))
-    spark.stop()
+    # SPIDER_SCALE_CORPUS: reuse a corpus a previous hunt already built
+    # (same n_docs/tokens!) so a restarted hunt goes straight to probing
+    corpus = os.environ.get("SPIDER_SCALE_CORPUS", "")
+    if not corpus:
+        corpus = os.path.join(
+            tempfile.mkdtemp(prefix="hunt_corpus_", dir=SCRATCH),
+            "documents.parquet")
+        spark = get_spark(app_name="hunt_corpus_build")
+        spark.sparkContext.setLogLevel("ERROR")
+        build_bench_corpus(
+            spark, n_docs, corpus,
+            tokens_per_span=int(
+                os.environ.get("SPIDER_SCALE_TOKENS", "1200")),
+            n_hosts=n_hosts,
+            partitions=int(
+                os.environ.get("SPIDER_SCALE_CORPUS_PARTS", "224")))
+        spark.stop()
 
     deadline = time.time() + DEADLINE_MIN * 60
     pairs = []
