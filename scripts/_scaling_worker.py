@@ -48,9 +48,10 @@ SHUFFLE_PARTITIONS = int(os.environ.get("SPIDER_SCALE_SHUFFLE", "112"))
 # frontier buckets: the commit's partitioned write runs one task wave
 # sized by len(touched buckets) <= n_buckets, and per-bucket Bloom
 # build/update parallelism equals the bucket count — 32 buckets caps
-# every one of those at a 2-wave quantized run on 28 cores.  128
-# buckets = 4 even waves big side, 16+ small side.
-FRONTIER_BUCKETS = int(os.environ.get("SPIDER_SCALE_BUCKETS", "128"))
+# every one of those at a 2-wave quantized run on 28 cores.  112 is
+# wave-exact on both sides (4 waves at 28 cores, 16 at 7); the round-4
+# campaign's 128 was exact only at 32 cores (4.57 ragged waves at 28).
+FRONTIER_BUCKETS = int(os.environ.get("SPIDER_SCALE_BUCKETS", "112"))
 # tmpfs for state + shuffle spill: the sandbox /tmp is disk-backed and
 # writeback storms from snapshot commits otherwise bleed into the
 # measured window of LATER rounds (observed as 2-3x phase outliers)
@@ -65,12 +66,24 @@ def _common(builder):
         .config("spark.sql.shuffle.partitions", str(SHUFFLE_PARTITIONS))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
-        # AQE must not re-coalesce the carefully-sized 112-partition
-        # stages down to a core-count-dependent number of fat tasks —
-        # coalescing keys off defaultParallelism, so the two sides
-        # would run DIFFERENT physical plans and the comparison would
-        # measure AQE's sizing, not the engine's scaling
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # AQE partition coalescing, SIZE-based only: with the default
+        # parallelismFirst=true the coalesce floor keys off
+        # defaultParallelism, so the two sides would run DIFFERENT
+        # physical plans and the comparison would measure AQE's sizing,
+        # not the engine's scaling (round-3/4 campaigns ran with
+        # coalescing fully off for that reason).  parallelismFirst=false
+        # decides purely from the shuffle's measured bytes — identical
+        # input → identical stats → identical coalesced plans at BOTH
+        # core counts — and it collapses the round's tiny bookkeeping
+        # shuffles (frontier select window, admission stats: a few MB in
+        # 112 parts) whose per-task overhead is pure fixed cost F that
+        # Amdahl-caps the N→4N efficiency.  This is also the documented
+        # production setting for clusters sized by data, not cores.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPIDER_SCALE_ADVISORY_BYTES", "8m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # the bench corpus is a few hundred MB of parquet: default 128MB
         # split packing gives the fetch scan ~4 tasks at ANY core count
@@ -143,11 +156,13 @@ def main() -> None:
         max_parallel_non_working=budget,
         default_host_quota=max(8, budget // max(4, n_hosts // 4)),
         frontier_buckets=FRONTIER_BUCKETS,
-        # id-assignment range-partitioning: 8 caps the admission phase's
-        # sequence pass at 8 tasks; match the stage sizing above (the
-        # assigned ids are identical at any partition count — pinned by
-        # tests/test_admission_plan.py)
-        seq_partitions=SHUFFLE_PARTITIONS,
+        # id-assignment range-partitioning: the sequence pass ranks a
+        # few tens of thousands of candidate rows — 112 range parts is
+        # a tiny-task storm whose wall is pure scheduling overhead (it
+        # is an explicit repartition, so AQE cannot coalesce it).  28 =
+        # one even wave big side, 4 small side; the assigned ids are
+        # identical at any partition count (tests/test_admission_plan.py)
+        seq_partitions=int(os.environ.get("SPIDER_SCALE_SEQ_PARTS", "28")),
     )
     os.makedirs(SCRATCH, exist_ok=True)
     wd = tempfile.mkdtemp(prefix=f"scaling_{MODE}_{size}_", dir=SCRATCH)

@@ -91,7 +91,15 @@ def exploded_spans(docs: DataFrame) -> DataFrame:
     documents-scan partitioning (often just a handful of partitions),
     which would cap the parallelism of every downstream Arrow UDF
     (tokenize, URL extraction).  The position window partitions by id
-    anyway, so this shuffle replaces that one rather than adding one."""
+    anyway, so this shuffle replaces that one rather than adding one.
+
+    The partition count is pinned to the session's shuffle-partition
+    setting EXPLICITLY: a bare ``repartition("id")`` is adjustable by
+    AQE, and size-based partition coalescing would fuse this stage to a
+    handful of tasks — its shuffle is small in compressed BYTES but it
+    feeds the round's dominant CPU cost (the Arrow tokenize hop), where
+    underparallelizing is a 4-10x wall regression at high core counts."""
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return docs.select(
         "id", "url", F.explode("spans").alias("s")
     ).select(
@@ -100,7 +108,7 @@ def exploded_spans(docs: DataFrame) -> DataFrame:
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
-    ).repartition("id")
+    ).repartition(nparts, "id")
 
 
 def tokenized_spans(spans: DataFrame) -> DataFrame:
