@@ -84,7 +84,16 @@ def run_worker(size, corpus, n_hosts, rounds, budget, n_docs, tag,
             os.killpg(proc.pid, signal.SIGKILL)
         except ProcessLookupError:
             pass
-        proc.wait()
+        # drain whatever the dead tree left in the pipes — the partial
+        # stderr shows how far a killed worker got (which phase stalled)
+        try:
+            stdout, stderr = proc.communicate(timeout=10)
+        except Exception:
+            stderr = ""
+        with open(os.path.join(SCRATCH,
+                               f"worker_{size}_{tag}.timeout.stderr"),
+                  "w") as f:
+            f.write(stderr or "")
         print(json.dumps({"worker_timeout": size, "tag": tag}), flush=True)
         return None
     with open(os.path.join(SCRATCH, f"worker_{size}_{tag}.stderr"), "w") as f:

@@ -47,7 +47,7 @@ ABORT_WARMUP_S = os.environ.get("SPIDER_SCALE_ABORT_WARMUP_S", "90")
 # warm-up + 2 measured rounds) fits in ~3 minutes; a worker still alive
 # at this age sits in a stalled window (490s warm-ups observed) and the
 # time is better spent re-probing for the next window
-BIG_TIMEOUT_S = int(os.environ.get("SPIDER_SCALE_BIG_TIMEOUT", "420"))
+BIG_TIMEOUT_S = int(os.environ.get("SPIDER_SCALE_BIG_TIMEOUT", "360"))
 
 
 def best_round_sys(r):
@@ -94,6 +94,20 @@ def main():
                               "syscall_rts": pre_sc}), flush=True)
             time.sleep(60)
             continue
+        # confirmation probe ~20s later: the stall windows flicker on
+        # sub-minute scales, and a launch into a closing window costs a
+        # 90-200s warm-up abort — a second reading 20s out filters the
+        # flickers for a fifth of that price
+        time.sleep(20)
+        pre2 = steal_probe()
+        pre2_sc = syscall_probe()
+        if pre2 > GATE or (0 <= pre2_sc < SYSCALL_MIN):
+            print(json.dumps({"wait": True, "flicker": True,
+                              "steal_pct": pre2,
+                              "syscall_rts": pre2_sc}), flush=True)
+            time.sleep(40)
+            continue
+        pre, pre_sc = max(pre, pre2), min(pre_sc, pre2_sc)
         attempt += 1
         tag = f"h{attempt}"
         os.environ["SPIDER_SCALE_ABORT_WARMUP_S"] = ABORT_WARMUP_S
