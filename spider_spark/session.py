@@ -22,6 +22,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size-based coalescing only: the default parallelismFirst=true
+        # floors the coalesce target at defaultParallelism, so on a
+        # 32-core session the round's tiny bookkeeping shuffles (frontier
+        # select window, admission stats — a few MB) stay at 32 tasks of
+        # pure scheduling overhead.  Deciding from measured bytes alone
+        # collapses them; stages that are CPU-heavy but byte-light (the
+        # Arrow tokenize hop) pin their partitioning explicitly
+        # (parse.exploded_spans) and are not affected.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                os.environ.get("SPIDER_AQE_PARALLELISM_FIRST", "false"))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPIDER_AQE_ADVISORY_BYTES", "8m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Unix-domain sockets for the executor<->Python-worker Arrow
