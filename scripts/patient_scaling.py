@@ -57,50 +57,103 @@ WORKER_TIMEOUT = int(os.environ.get("SPIDER_SCALE_WORKER_TIMEOUT", "1800"))
 
 
 def run_worker(size, corpus, n_hosts, rounds, budget, n_docs, tag,
-               timeout=None):
+               timeout=None, milestones=None):
     """One worker run; returns its result dict, or None if the worker
     timed out (a stalled-host window — burn no more time on it) or
     died.  A None poisons the pair, which is recorded as dirty.
     `timeout` overrides WORKER_TIMEOUT (the hunter caps the 4N side
     tighter: a clean 4N run fits in ~3 min, so anything longer is a
-    stalled window not worth riding out)."""
+    stalled window not worth riding out).
+
+    `milestones` — list of (deadline_s, stderr_substring, min_count):
+    with SPIDER_TIMING=1 the worker streams per-phase ``## label``
+    lines; a stalled window shows up as a missing early phase long
+    before the hard timeout.  Killing at the first missed milestone
+    (~100-160s) instead of the hard cap (~300-360s) roughly doubles
+    the candidate windows the hunter can sample per hour.  Requires
+    streaming stderr to a file, so that path is only taken when
+    milestones are requested."""
     # own process group: on timeout the WHOLE tree dies (the JVM is a
     # grandchild — subprocess.run's timeout would orphan it and the
     # leaked executor poisons every later measurement window)
-    proc = subprocess.Popen(
-        [sys.executable,
-         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      "_scaling_worker.py"),
-         str(size), corpus, str(n_hosts), str(rounds), str(budget),
-         str(n_docs)],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        start_new_session=True,
-    )
-    try:
-        stdout, stderr = proc.communicate(timeout=timeout or WORKER_TIMEOUT)
-    except subprocess.TimeoutExpired:
+    argv = [sys.executable,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "_scaling_worker.py"),
+            str(size), corpus, str(n_hosts), str(rounds), str(budget),
+            str(n_docs)]
+    stderr_path = os.path.join(SCRATCH, f"worker_{size}_{tag}.stderr")
+
+    def _kill_tree(proc):
         import signal
         try:
             os.killpg(proc.pid, signal.SIGKILL)
         except ProcessLookupError:
             pass
-        # drain whatever the dead tree left in the pipes — the partial
-        # stderr shows how far a killed worker got (which phase stalled)
+
+    if milestones:
+        hard = timeout or WORKER_TIMEOUT
+        with open(stderr_path, "w") as errf:
+            proc = subprocess.Popen(argv, stdout=subprocess.PIPE,
+                                    stderr=errf, text=True,
+                                    start_new_session=True)
+            t0 = time.time()
+            pending = sorted(milestones)
+            missed = None
+            while proc.poll() is None:
+                time.sleep(5)
+                el = time.time() - t0
+                if el > hard:
+                    missed = ("hard_timeout", el)
+                    break
+                try:
+                    tail = open(stderr_path).read()
+                except OSError:
+                    tail = ""
+                while pending and el > pending[0][0]:
+                    dl, sub, cnt = pending[0]
+                    if tail.count(sub) < cnt:
+                        missed = (f"milestone '{sub}'x{cnt}@{dl}s", el)
+                        break
+                    pending.pop(0)
+                if missed:
+                    break
+            if missed:
+                _kill_tree(proc)
+                os.rename(stderr_path, stderr_path + ".timeout")
+                print(json.dumps({"worker_timeout": size, "tag": tag,
+                                  "missed": missed[0],
+                                  "killed_at_s": round(missed[1], 1)}),
+                      flush=True)
+                return None
+            stdout = proc.stdout.read()
+    else:
+        proc = subprocess.Popen(argv, stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True,
+                                start_new_session=True)
         try:
-            stdout, stderr = proc.communicate(timeout=10)
-        except Exception:
-            stderr = ""
-        with open(os.path.join(SCRATCH,
-                               f"worker_{size}_{tag}.timeout.stderr"),
-                  "w") as f:
-            f.write(stderr or "")
-        print(json.dumps({"worker_timeout": size, "tag": tag}), flush=True)
-        return None
-    with open(os.path.join(SCRATCH, f"worker_{size}_{tag}.stderr"), "w") as f:
-        f.write(stderr)
+            stdout, stderr = proc.communicate(
+                timeout=timeout or WORKER_TIMEOUT)
+        except subprocess.TimeoutExpired:
+            _kill_tree(proc)
+            # drain whatever the dead tree left in the pipes — the
+            # partial stderr shows how far a killed worker got
+            try:
+                stdout, stderr = proc.communicate(timeout=10)
+            except Exception:
+                stderr = ""
+            with open(stderr_path + ".timeout", "w") as f:
+                f.write(stderr or "")
+            print(json.dumps({"worker_timeout": size, "tag": tag}),
+                  flush=True)
+            return None
+        with open(stderr_path, "w") as f:
+            f.write(stderr)
     lines = [l for l in stdout.splitlines() if l.startswith("{")]
     if not lines:
-        print(stderr[-3000:], file=sys.stderr)
+        try:
+            print(open(stderr_path).read()[-3000:], file=sys.stderr)
+        except OSError:
+            pass
         return None
     return json.loads(lines[-1])
 

@@ -47,7 +47,17 @@ ABORT_WARMUP_S = os.environ.get("SPIDER_SCALE_ABORT_WARMUP_S", "90")
 # warm-up + 2 measured rounds) fits in ~3 minutes; a worker still alive
 # at this age sits in a stalled window (490s warm-ups observed) and the
 # time is better spent re-probing for the next window
-BIG_TIMEOUT_S = int(os.environ.get("SPIDER_SCALE_BIG_TIMEOUT", "360"))
+BIG_TIMEOUT_S = int(os.environ.get("SPIDER_SCALE_BIG_TIMEOUT", "330"))
+# phase milestones for the 4N probe (requires SPIDER_TIMING=1): clean
+# 28-core walls from process start are ~40s to warm-up fetch+cache,
+# ~65s to warm-up commit, ~100s to round-1 commit — each deadline
+# carries >2x headroom, and a stalled window (e.g. tokenize 69s where
+# ~12s is clean) is killed at the first miss instead of riding out the
+# hard timeout.  The 7-core side is never milestone-killed: it is the
+# cheap half and tolerates interference 4x better.
+BIG_MILESTONES = [(90, "## fetch+cache", 1),
+                  (150, "## commit", 1),
+                  (230, "## commit", 2)]
 
 
 def best_round_sys(r):
@@ -112,7 +122,10 @@ def main():
         tag = f"h{attempt}"
         os.environ["SPIDER_SCALE_ABORT_WARMUP_S"] = ABORT_WARMUP_S
         r_big = run_worker(N_BIG, corpus, n_hosts, rounds, budget,
-                           n_docs, tag, timeout=BIG_TIMEOUT_S)
+                           n_docs, tag, timeout=BIG_TIMEOUT_S,
+                           milestones=(BIG_MILESTONES
+                                       if os.environ.get("SPIDER_TIMING")
+                                       == "1" else None))
         os.environ["SPIDER_SCALE_ABORT_WARMUP_S"] = "0"
         if r_big is None or r_big.get("aborted"):
             print(json.dumps({"attempt": attempt,
