@@ -66,22 +66,20 @@ def _common(builder):
         .config("spark.sql.shuffle.partitions", str(SHUFFLE_PARTITIONS))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
-        # AQE partition coalescing, SIZE-based only: with the default
-        # parallelismFirst=true the coalesce floor keys off
-        # defaultParallelism, so the two sides would run DIFFERENT
-        # physical plans and the comparison would measure AQE's sizing,
-        # not the engine's scaling (round-3/4 campaigns ran with
-        # coalescing fully off for that reason).  parallelismFirst=false
-        # decides purely from the shuffle's measured bytes — identical
-        # input → identical stats → identical coalesced plans at BOTH
-        # core counts — and it collapses the round's tiny bookkeeping
-        # shuffles (frontier select window, admission stats: a few MB in
-        # 112 parts) whose per-task overhead is pure fixed cost F that
-        # Amdahl-caps the N→4N efficiency.  This is also the documented
-        # production setting for clusters sized by data, not cores.
+        # AQE partition coalescing, parallelism-first (the Spark
+        # default): the coalesce floor keys off defaultParallelism, so
+        # each side sizes its post-shuffle partitioning to its OWN core
+        # count — exactly what a real N-executor vs 4N-executor cluster
+        # does.  Round 4 measured the alternative ("identical plans":
+        # parallelismFirst=false, 8m advisory) and it CAPS scaling: the
+        # admission/commit shuffles coalesce to the same handful of
+        # tasks at both sizes (admission scaled 1.33-1.94x of 4x, 28-core
+        # host user-CPU ~54%); flipping to parallelism-first cut the
+        # 28-core round 48.2s -> 42.6s (622 -> 705 u/s) in the same
+        # window class with no change to the 7-core side's plans.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                "false")
+                os.environ.get("SPIDER_SCALE_PARALLELISM_FIRST", "true"))
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                 os.environ.get("SPIDER_SCALE_ADVISORY_BYTES", "8m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -98,6 +96,13 @@ def _common(builder):
         .config("spark.python.unix.domain.socket.enabled",
                 os.environ.get("SPIDER_UDS", "true"))
         .config("spark.ui.enabled", "false")
+        # diagnostics: per-stage task/GC/scheduler-delay forensics for
+        # the scaling hunt (parsed by scripts/stage_table.py)
+        .config("spark.eventLog.enabled",
+                os.environ.get("SPIDER_SCALE_EVENTLOG", "false"))
+        .config("spark.eventLog.dir",
+                os.environ.get("SPIDER_SCALE_EVENTLOG_DIR",
+                               os.path.join(SCRATCH, "eventlog")))
         # cache working set (fetch-join spans + token arrays) must fit
         # in storage memory at budget-100k rounds; an undersized heap
         # showed up as 3-5x tokenize-phase blowups from cache eviction
