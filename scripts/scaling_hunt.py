@@ -58,6 +58,16 @@ BIG_TIMEOUT_S = int(os.environ.get("SPIDER_SCALE_BIG_TIMEOUT", "330"))
 BIG_MILESTONES = [(90, "## fetch+cache", 1),
                   (150, "## commit", 1),
                   (230, "## commit", 2)]
+# heavier configs (bigger budget / token-denser corpus) shift every
+# clean wall: override as
+#   SPIDER_SCALE_BIG_MILESTONES="140:## fetch+cache:1,240:## commit:1"
+# (deadline_s:pattern:occurrence, comma-separated).
+if os.environ.get("SPIDER_SCALE_BIG_MILESTONES"):
+    BIG_MILESTONES = []
+    for part in os.environ["SPIDER_SCALE_BIG_MILESTONES"].split(","):
+        deadline, rest = part.split(":", 1)
+        pattern, occ = rest.rsplit(":", 1)
+        BIG_MILESTONES.append((float(deadline), pattern, int(occ)))
 
 
 def best_round_sys(r):
