@@ -99,7 +99,9 @@ def main():
                 os.environ.get("SPIDER_SCALE_TOKENS", "1200")),
             n_hosts=n_hosts,
             partitions=int(
-                os.environ.get("SPIDER_SCALE_CORPUS_PARTS", "224")))
+                os.environ.get("SPIDER_SCALE_CORPUS_PARTS", "224")),
+            multilingual_pct=int(
+                os.environ.get("SPIDER_SCALE_MULTILINGUAL_PCT", "2")))
         spark.stop()
 
     deadline = time.time() + DEADLINE_MIN * 60

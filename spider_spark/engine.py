@@ -144,10 +144,18 @@ class CrawlEngine:
         cuckoo_changes: DataFrame | None,
         cleanup: list,
         new_rows: DataFrame | None = None,
+        barrier=None,
     ) -> dict[str, tuple[DataFrame, int]]:
         """Bucket-table updates for the Bloom and cuckoo filters, to be
         committed atomically with the frontier.  ``frontier_final``
-        must be cached by the caller when this returns anything."""
+        must be cached by the caller when this returns anything.
+
+        ``barrier`` (optional callable): invoked before any path that
+        CONSUMES ``frontier_final`` (full build, overflow rebuild) — the
+        caller passes the frontier-materialization future's ``result``
+        so this method can run on a side thread concurrent with that
+        materialization without racing on the unmaterialized cache.
+        The common incremental path (no overflow) never blocks on it."""
         cfg = self.config
         b = self._bucket_expr(nb)
         out: dict[str, tuple[DataFrame, int]] = {}
@@ -157,6 +165,8 @@ class CrawlEngine:
         )
         full_rows = None
         if need_full:
+            if barrier is not None:
+                barrier()
             # one-time activation (or layout migration): the full URL
             # set = this round's merged buckets ∪ the untouched buckets
             full_rows = frontier_final.select("url", "status")
@@ -189,6 +199,8 @@ class CrawlEngine:
                 over = [r["bkt"] for r in
                         upd.filter("overflow").select("bkt").collect()]
                 if over:
+                    if barrier is not None:
+                        barrier()
                     rebuilt = seenfilter.build_bucket_blooms(
                         frontier_final.filter(b.isin(over)).select("url"),
                         nb, cfg.bloom_bits_per_key)
@@ -212,6 +224,8 @@ class CrawlEngine:
                 over = [r["bkt"] for r in
                         upd.filter("overflow").select("bkt").collect()]
                 if over:
+                    if barrier is not None:
+                        barrier()
                     rebuilt = seenfilter.build_bucket_cuckoos(
                         frontier_final.filter(
                             b.isin(over) & (F.col("status") != "QUEUED")
@@ -568,18 +582,17 @@ class CrawlEngine:
         # cache the exploded+repartitioned spans: BOTH the link-extraction
         # path (admission) and the tokenize path (postings) consume them,
         # and they materialize in different actions — uncached, the
-        # fetch join + explode + repartition shuffle would run twice
+        # fetch join + explode + repartition shuffle would run twice.
+        # Materialized HERE, once, because two threads are about to
+        # consume it concurrently (tokenize and admission below).
         spans = parse.exploded_spans(normal).cache()
+        spans.count()
+        _t = _tick("spans", _t)
         # cache the tokenized spans: both the doc metadata aggregate and
         # the postings build consume them — uncached, the Arrow tokenize
         # hop (the round's single biggest CPU cost) would run twice
         tok = parse.tokenized_spans(spans).cache()
         meta = parse.doc_meta(tok, normal).cache()
-        # materialize the parse caches before the (concurrent) commit
-        # writes — two writer threads racing on an unmaterialized cache
-        # would each compute the tokenize hop
-        meta.count()
-        _t = _tick("meta(tokenize)", _t)
         idx = parse.indexable_tokens(parse.token_positions(tok))
         postings_delta = postings.build_postings(idx, meta)
         links = parse.outlinks(spans)
@@ -633,23 +646,56 @@ class CrawlEngine:
         # window over a few thousand candidates; the two paths assign
         # IDENTICAL ids (tests/test_admission_plan.py)
         seq_parts = cfg.seq_partitions if k > 4096 else 1
-        new_rows, _ = admission.admit(
-            self.spark, candidates, frontier_arg, cfg, self.robots,
-            rnd=rnd, seq_start=k + 1, next_id=next_id,
-            bloom_df=bloom_df, n_buckets=nb, frontier_for_buckets=reader,
-            cleanup=cleanup, seq_partitions=seq_parts, with_force=False,
-        )
-        new_rows = new_rows.cache()
-        # ONE fused job: admission count + per-bucket split + the full
-        # touched-bucket set (admissions ∪ status updates) — replaces
-        # round 2's three separate actions (new count, touched-buckets
-        # collect, bloom fold-in)
-        stats = (
-            new_rows.select(b.alias("_b"), F.lit(1).alias("_n"))
-            .unionByName(selected.select(b.alias("_b"), F.lit(0).alias("_n")))
-            .groupBy("_b").agg(F.sum("_n").alias("_nn"))
-            .collect()
-        )
+
+        # ---- overlapped parse ∥ admission -------------------------------
+        # The tokenize materialization (the round's dominant CPU) and the
+        # admission pipeline (several driver-blocking jobs: cand cache +
+        # bucket-distinct collect, range-partitioned id assignment, the
+        # fused stats agg) consume DISJOINT inputs once ``spans`` is
+        # materialized: tokenize reads the span text, admission reads the
+        # span links.  Serialized, admission's ~12-15s of mostly-latency
+        # jobs sit on the round's critical path at EVERY core count (the
+        # round-4 N-vs-4N phase table: admission scaled 1.33x of 4x);
+        # overlapped, its jobs fill the task slots the tokenize stages
+        # leave idle and the phase disappears into the tokenize wall.
+        def _parse_side():
+            t0 = time.time()
+            # materialize the parse caches before the (concurrent) commit
+            # writes — two writer threads racing on an unmaterialized
+            # cache would each compute the tokenize hop
+            meta.count()
+            _tick("meta(tokenize)", t0)
+
+        def _admit_side():
+            t0 = time.time()
+            rows, _ = admission.admit(
+                self.spark, candidates, frontier_arg, cfg, self.robots,
+                rnd=rnd, seq_start=k + 1, next_id=next_id,
+                bloom_df=bloom_df, n_buckets=nb, frontier_for_buckets=reader,
+                cleanup=cleanup, seq_partitions=seq_parts, with_force=False,
+            )
+            rows = rows.cache()
+            # ONE fused job: admission count + per-bucket split + the full
+            # touched-bucket set (admissions ∪ status updates) — replaces
+            # round 2's three separate actions (new count, touched-buckets
+            # collect, bloom fold-in)
+            st = (
+                rows.select(b.alias("_b"), F.lit(1).alias("_n"))
+                .unionByName(
+                    selected.select(b.alias("_b"), F.lit(0).alias("_n")))
+                .groupBy("_b").agg(F.sum("_n").alias("_nn"))
+                .collect()
+            )
+            _tick(f"admission n={int(sum(r['_nn'] for r in st))}", t0)
+            return rows, st
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as _pool:
+            _meta_fut = _pool.submit(_parse_side)
+            _admit_fut = _pool.submit(_admit_side)
+            new_rows, stats = _admit_fut.result()
+            _meta_fut.result()
+        _t = _tick("parse∥admit", _t)
         n_new = int(sum(r["_nn"] for r in stats))
         touched = sorted(r["_b"] for r in stats)
         new_bks = sorted(r["_b"] for r in stats if r["_nn"] > 0)
@@ -658,7 +704,6 @@ class CrawlEngine:
                 f"round {rnd} sequence space overflow: {k + 1 + n_new} "
                 f">= 2^{SEQ_SHIFT}; widen config.SEQ_SHIFT"
             )
-        _t = _tick(f"admission n={n_new}", _t)
 
         # bucketed frontier MERGE: only buckets holding this round's
         # status updates (⊆ selected) or new admissions are re-read,
@@ -714,19 +759,27 @@ class CrawlEngine:
             # second thread — the two DAGs' stage tails interleave and
             # fill cores that a serial merge would leave idle (round-4
             # N-vs-4N phase logs: commit scaled 2.2x of 4x because each
-            # sub-DAG alone under-fills 28 cores)
+            # sub-DAG alone under-fills 28 cores).  The filter-update
+            # DAGs (per-bucket Bloom OR-in + cuckoo adds, each ending in
+            # a tiny overflow-flag collect) consume only caches that are
+            # already materialized (new_rows, selected, meta) — they run
+            # on a THIRD thread, blocking on the frontier merge (via
+            # ``barrier``) only on the rare overflow-rebuild path, so
+            # the commit's serial prelude is max(merge, postings,
+            # filters), not their sum
             postings_delta = postings_delta.cache()
             cleanup.append(postings_delta)
             from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=2) as _pool:
+            with ThreadPoolExecutor(max_workers=3) as _pool:
                 _f = _pool.submit(frontier_final.count)
                 _p = _pool.submit(postings_delta.count)
+                _u = _pool.submit(
+                    self._filter_updates, fs, bloom_df, done_df,
+                    frontier_final, nb, touched, new_bks, migrate,
+                    cuckoo_changes, cleanup, new_rows=new_rows,
+                    barrier=_f.result)
                 _f.result(), _p.result()
-            bucket_updates.update(self._filter_updates(
-                fs, bloom_df, done_df, frontier_final, nb,
-                touched, new_bks, migrate, cuckoo_changes, cleanup,
-                new_rows=new_rows,
-            ))
+                bucket_updates.update(_u.result())
 
         self.store.commit_round(
             rnd,

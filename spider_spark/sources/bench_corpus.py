@@ -35,6 +35,7 @@ def build_bench_corpus(
     n_hosts: int | None = None,
     out_degree: int = 3,
     partitions: int | None = None,
+    multilingual_pct: int = 100,
 ) -> None:
     """Write documents.parquet with n_docs interleaved docs.
 
@@ -57,20 +58,38 @@ def build_bench_corpus(
     url = _url(host, doc_num)
 
     pool = F.array(*[F.lit(t) for t in TOKEN_POOL])
+    ascii_pool_toks = tuple(t for t in TOKEN_POOL if t.isascii())
+    ascii_pool = F.array(*[F.lit(t) for t in ascii_pool_toks])
     titles = F.array(*[F.lit(t) for t in TITLE_POOL])
 
+    # multilingual_pct: share of TEXT SPANS drawn from the full
+    # (CJK-bearing) pool; the rest draw ASCII-only tokens.  At 2400
+    # tokens/span a single CJK token routes the whole span to the
+    # per-codepoint automaton fallback, so the default 100 makes EVERY
+    # span take the Python path — fine for parity tests, wildly
+    # unrepresentative for web text (overwhelmingly ASCII, the case the
+    # JVM fast path exists for).  Scaling/throughput runs set a small
+    # share (e.g. 2) so the hot path is the measured path while the
+    # fallback still runs every round.
     def text_expr(span_no: int):
-        return F.array_join(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(tokens_per_span - 1)),
-                lambda i: F.element_at(
-                    pool,
-                    (F.pmod(F.xxhash64(F.col("id"), F.lit(span_no), i),
-                            F.lit(len(TOKEN_POOL))) + 1).cast("int"),
+        multi = F.pmod(
+            F.xxhash64(F.col("id"), F.lit(span_no), F.lit("lang")),
+            F.lit(100),
+        ) < F.lit(multilingual_pct)
+        def draw(p, size):
+            return F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(tokens_per_span - 1)),
+                    lambda i: F.element_at(
+                        p,
+                        (F.pmod(F.xxhash64(F.col("id"), F.lit(span_no), i),
+                                F.lit(size)) + 1).cast("int"),
+                    ),
                 ),
-            ),
-            " ",
-        )
+                " ",
+            )
+        return F.when(multi, draw(pool, len(TOKEN_POOL))).otherwise(
+            draw(ascii_pool, len(ascii_pool_toks)))
 
     def link_expr(k: int):
         # target id: deterministic mix of intra-host stride and
