@@ -113,10 +113,28 @@ def _common(builder):
 
 
 def local_session(n_cores: int) -> SparkSession:
+    # Faithful N-core proxy: confine the WHOLE process tree (driver
+    # JVM, its GC/JIT/netty pools, every python UDF worker) to N host
+    # CPUs, exactly like an N-core executor host.  Without this the
+    # small side cheats: local[4] runs 4 task threads but its GC/JIT/
+    # shuffle-compression threads and Arrow serialization spill onto
+    # the other 28 idle host cores — measured as the 4-core side
+    # "scaling" only 2.6-2.8x below a 16-core side that has no idle
+    # cores to borrow.  ActiveProcessorCount makes the JVM size its
+    # internal pools for N instead of 32 (32-sized pools thrashing on
+    # N pinned CPUs is its own slowdown).  SPIDER_SCALE_PIN=0 opts out.
+    if os.environ.get("SPIDER_SCALE_PIN", "1") == "1":
+        os.sched_setaffinity(0, set(range(n_cores)))
+        extra = (f"-XX:ActiveProcessorCount={n_cores} "
+                 f"-XX:ParallelGCThreads={max(2, n_cores // 2)} "
+                 f"-XX:CICompilerCount=2")
+    else:
+        extra = ""
     return _common(
         SparkSession.builder
         .master(f"local[{n_cores}]")
         .appName(f"scaling_local_{n_cores}")
+        .config("spark.driver.extraJavaOptions", extra)
     ).getOrCreate()
 
 

@@ -33,7 +33,30 @@ def main():
         F.col("s.text").alias("text"), F.col("s.kind").alias("kind"))
     spans = spans.filter(
         F.col("kind").isin("title", "text") & F.col("text").isNotNull())
-    fn = tokenize_udf if mode == "udf" else tokens_col
+    if mode == "jvm2":
+        # prototype: split-based ASCII twin — one compiled-regex split
+        # pass over the string, then cheap non-HOF-regex per-element ops
+        def jvm2(text):
+            lowered = F.lower(text)
+            pieces = F.split(lowered, "[^a-z0-9']+", -1)
+            n = F.size(pieces)
+            indexed = F.transform(
+                pieces, lambda p, i: F.struct(
+                    F.regexp_replace(p, "^'+", "").alias("run"),
+                    (i == n - 1).alias("last"),
+                ))
+            kept = F.filter(
+                indexed,
+                lambda s: (F.length(s["run"]) > 0)
+                & ((F.length(F.translate(s["run"], "0123456789'", "")) > 0)
+                   | (F.length(s["run"]) >= 3)
+                   | s["last"]),
+            )
+            return F.transform(
+                kept, lambda s: F.regexp_replace(s["run"], "'+$", ""))
+        fn = jvm2
+    else:
+        fn = tokenize_udf if mode == "udf" else tokens_col
     t0 = time.time()
     c0 = cpu()
     out = spans.select(F.size(fn(F.col("text"))).alias("n")) \

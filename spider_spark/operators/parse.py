@@ -7,9 +7,11 @@ as DataFrame operators over exploded spans:
                      (single '__redirect__' media span) split off first
   D3 title capture — LAST valid (non-empty, single-line) title span wins
                      (page.setPageTitle overwrites, Spider.java:672-681)
-  D4 tokenizer     — hybrid: JVM expression twin for ASCII spans (the
-                     web-scale common case, zero Python), Arrow-batched
-                     automaton UDF for the non-ASCII remainder
+  D4 tokenizer     — Arrow-batched UDF: C-regex fast path for ASCII
+                     rows (the web-scale common case), exact automaton
+                     for the rest.  A JVM expression twin exists but is
+                     >30x slower on real span lengths (interpreted
+                     higher-order functions) — see udfs.tokens_col
   D5 positions     — title tokens at INT32_MIN+i; body tokens at a
                      per-doc running counter starting at 1 that SKIPS
                      title spans (Spider.java:686-704) — a window

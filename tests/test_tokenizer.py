@@ -215,12 +215,14 @@ def test_ascii_fast_path_speedup():
 
 
 def test_jvm_ascii_twin_matches_python(spark):
-    """The JVM-expression ASCII twin (udfs.tokenize_ascii_col, used via
-    the tokens_col hybrid in the parse hot path) must agree with the
-    Python tokenizer on every input: ASCII rows take the expression,
-    non-ASCII rows fall back to the automaton UDF.  Covers the fast
-    path's documented quirks (end-of-string flush, apostrophe glue and
-    strip, digit-run length rule) plus seeded random ASCII soup."""
+    """tokens_col (the parse hot path — the Arrow UDF since round 4;
+    the UDF dispatches ASCII rows to a C-regex fast path internally)
+    AND the JVM-expression ASCII twin (udfs.tokenize_ascii_col, kept
+    for oracle-SQL parity queries) must both agree with the Python
+    tokenizer — the twin on its ASCII validity domain, tokens_col on
+    every input.  Covers the documented quirks (end-of-string flush,
+    apostrophe glue and strip, digit-run length rule) plus seeded
+    random ASCII soup."""
     import random
 
     import pyspark.sql.functions as F
@@ -257,3 +259,14 @@ def test_jvm_ascii_twin_matches_python(spark):
     }
     for i, t in enumerate(cases):
         assert got[i] == tokenize(t), f"case {i}: {t!r}"
+
+    from spider_spark.functions.udfs import _ASCII_ONLY_RE, tokenize_ascii_col
+    twin = {
+        r["i"]: r["toks"]
+        for r in df.filter(F.col("text").rlike(_ASCII_ONLY_RE))
+        .select("i", tokenize_ascii_col(F.col("text")).alias("toks"))
+        .collect()
+    }
+    assert twin, "no ASCII cases reached the twin"
+    for i, toks in twin.items():
+        assert toks == tokenize(cases[i]), f"twin case {i}: {cases[i]!r}"
