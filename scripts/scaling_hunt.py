@@ -22,6 +22,14 @@ resource, a clean window long enough for the 4N side:
 Usage: python scripts/scaling_hunt.py [n_docs] [rounds] [budget]
 Env: as patient_scaling.py, plus SPIDER_SCALE_ABORT_WARMUP_S
 (default 90) passed to the 4N worker only.
+
+Round-4 pair configuration (see BENCH.md for the measurements):
+N=4 vs 4N=16 (SPIDER_SCALE_N=4), workers PINNED to an N-CPU slice
+(_scaling_worker SPIDER_SCALE_PIN), 240k-doc tokens=2400 corpus at
+multilingual_pct=2, budget 30k, SPIDER_SCALE_SEQ_PARTS=16, milestones
+"100:## fetch+cache:1,170:## commit:1,260:## commit:2", abort-warmup
+115s, big timeout 420s.  Clean pinned reference walls: 16-core round
+58-63s (sys <=3%), 4-core round 215-230s, 16-core warmup ~70s.
 """
 
 import json
