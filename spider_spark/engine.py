@@ -31,12 +31,19 @@ Spider.java:206-255,415-541):
                  frontier (a false negative would admit a URL twice)
 
 Per-round job discipline (the driver-bench lesson from round 2: fixed
-per-round overhead, not data volume, dominated k≤1024 rounds): a small
-round runs exactly  (a) one select collect,  (b) one tokenize
-materialization,  (c) one fused admissions+touched-buckets aggregation,
-and  (d) the concurrent commit writes — with commit outputs coalesced
-to one task when the working set is tiny.  Filter maintenance only
-engages past ``config.filter_min_keys`` frontier rows.
+per-round overhead, not data volume, dominated k≤1024 rounds): a round
+runs  (a) one select collect,  (b) one span-feed materialization, then
+(c) the tokenize materialization CONCURRENT with the admission jobs
+(canonicalize+probe, bucket-distinct collect, two-pass id assignment,
+one fused admissions+touched-buckets aggregation) on two driver
+threads,  (d) 3-way-parallel commit prep (frontier merge ∥ postings
+delta ∥ filter-update DAGs), and  (e) the concurrent commit writes —
+with commit outputs coalesced to one task when the working set is
+tiny.  Filter maintenance only engages past ``config.filter_min_keys``
+frontier rows.  (Round-4 N-vs-4N phase tables drove the overlap: the
+serialized admission+commit prelude was ~25s of core-count-independent
+wall per round; overlapped, every phase but the ~2s select collect
+scales 3.2-4.8x from 4→16 cores.)
 
 Every source of nondeterminism is pinned (SURVEY §7.3): ids are
 admission sequence numbers, last_change is (round<<32)|seq in 64-bit
