@@ -72,6 +72,11 @@ def main() -> None:
 
     workdir = tempfile.mkdtemp(prefix="spider_bench_")
     try:
+        # crawl wall at bench scale is per-job latency and inflates 3-6x
+        # under host steal (BENCH.md "Reading a noisy driver window") —
+        # bracket the crawl component with its own probes so the number
+        # carries its condition
+        crawl_steal_pre = steal_probe()
         t0 = time.time()
         eng, postings = run_flagship(
             spark, sf_dir, n_rounds=CRAWL_ROUNDS, budget=CRAWL_BUDGET,
@@ -87,6 +92,7 @@ def main() -> None:
             "postings": n_postings,
             "seconds": round(crawl_secs, 3),
             "urls_per_sec": round(urls / crawl_secs, 2) if crawl_secs else 0.0,
+            "steal_pct": {"pre": crawl_steal_pre, "post": steal_probe()},
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
