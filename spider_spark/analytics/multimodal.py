@@ -334,4 +334,11 @@ def make_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
             payload = encode_video(frames)
             meta = {"n_frames": str(n_frames)}
         rows.append((f"http://media.example/m/{i}", kind, payload, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # createDataFrame slices a local list into defaultParallelism (32)
+    # partitions: each downstream mapInPandas branch then runs ~32
+    # near-empty Python tasks whose worker-spawn cost dwarfs the decode
+    # work.  Size partitions for ~16 payloads each instead — a REAL
+    # media table read from parquet gets its partitioning from the
+    # scan, so this only affects the synthetic source.
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(
+        max(1, n // 16))
