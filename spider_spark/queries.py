@@ -319,6 +319,65 @@ SQL_TF_RELEVANCE = f"""
 """
 
 
+# the index's consumer path: the reference writes TermEntry pages for
+# Library, which intersects per-term hit lists and relevance-sorts the
+# result (SURVEY §2 A5/A7's downstream reader).  Fixed deterministic
+# query terms — all frequent in the synthetic corpus profile.
+_SEARCH_TERMS = ("batch", "join", "scan")
+_SEARCH_K = 20
+
+
+def q_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked AND-search over the derived index: docs containing ALL
+    query terms, scored by summed TF relevance (Spider.java:714's
+    occurrences/totalWords, summed over the query terms), top-K with a
+    doc_id tie-break.
+
+    Determinism note: the score is ``sum(occ)/total`` — one integer sum
+    then ONE float division — never a float sum of per-term quotients,
+    whose partition-order-dependent rounding would differ run to run
+    (and from the oracle).  Scale shape: the term filter prunes the
+    token stream BEFORE any shuffle (predicate on the exploded term),
+    so the expensive groupBys see only query-term hits; per-doc totals
+    come from the same token scan and join on doc_id."""
+    toks = _tokens(spark, sf_dir)
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("total"))
+    hits = (
+        toks.filter(F.col("term").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("occ"),
+             F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") == len(_SEARCH_TERMS))
+    )
+    return (
+        hits.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("occ").cast("double")
+                    / F.col("total").cast("double"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(_SEARCH_K)
+    )
+
+
+SQL_SEARCH_TOPK = f"""
+    WITH t AS ({_TOKENS_SQL}),
+    per_doc AS (SELECT doc_id, COUNT(*) AS total FROM t GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS occ, COUNT(DISTINCT term) AS nt
+      FROM t WHERE term IN {str(tuple(_SEARCH_TERMS))}
+      GROUP BY doc_id
+    )
+    SELECT h.doc_id,
+           ROUND(CAST(h.occ AS DOUBLE) / CAST(d.total AS DOUBLE), 6) AS score
+    FROM hits h JOIN per_doc d ON h.doc_id = d.doc_id
+    WHERE h.nt = {len(_SEARCH_TERMS)}
+    ORDER BY score DESC, h.doc_id
+    LIMIT {_SEARCH_K}
+"""
+
+
 def q_tokenizer_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4: the exact SearchTokenizer automaton over the documents table
     (Arrow UDF).  Not ANSI-SQL-expressible (CJK automaton) → rows-only
@@ -874,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_host": q_topk_per_host,
         "term_doc_stats": q_term_doc_stats,
         "tf_relevance": q_tf_relevance,
+        "search_topk": q_search_topk,
         "tokenizer_automaton": q_tokenizer_automaton,
         "tokenizer_ascii_jvm": q_tokenizer_ascii_jvm,
         "dedup_exact": q_dedup_exact,
@@ -908,6 +968,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_host": SQL_TOPK_PER_HOST,
         "term_doc_stats": SQL_TERM_DOC_STATS,
         "tf_relevance": SQL_TF_RELEVANCE,
+        "search_topk": SQL_SEARCH_TOPK,
         # tokenizer_automaton: rows-only (CJK automaton not ANSI SQL)
         "tokenizer_ascii_jvm": SQL_TOKENIZER_ASCII_JVM,
         "dedup_exact": SQL_DEDUP_EXACT,
