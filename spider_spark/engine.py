@@ -338,10 +338,18 @@ class CrawlEngine:
             [(-1, 0, i, u, comment, False) for i, u in enumerate(seed_urls)],
             admission.CANDIDATE_SCHEMA,
         )
+        # small seed lists: one partition + single-window id assignment
+        # (same k<=4096 shortcut as run_round) — a driver-local list
+        # parallelized to defaultParallelism otherwise drags 32 near-
+        # empty tasks through every admission stage
+        small = len(seed_urls) <= 4096
+        if small:
+            cand = cand.coalesce(1)
         cleanup: list = []
         new_rows, _ = admission.admit(
             self.spark, cand, None, self.config, self.robots,
             rnd=0, seq_start=0, next_id=0, cleanup=cleanup,
+            seq_partitions=1 if small else None,
             with_force=False,
         )
         new_rows = new_rows.coalesce(1).cache()
@@ -384,6 +392,12 @@ class CrawlEngine:
             [(-1, 0, i, u, comment, force) for i, u in enumerate(urls)],
             admission.CANDIDATE_SCHEMA,
         )
+        # same small-list shortcut as bootstrap: one partition, single
+        # id-assignment window (ids are identical either way —
+        # tests/test_admission_plan.py)
+        small_list = len(urls) <= 4096
+        if small_list:
+            cand = cand.coalesce(1)
         # the enqueue commit IS its own round (rnd+1), so its sequence
         # space starts fresh — no overlap with crawl-round sequences
         cleanup: list = []
@@ -391,7 +405,8 @@ class CrawlEngine:
             self.spark, cand, frontier, self.config, self.robots,
             rnd=rnd + 1, seq_start=0, next_id=next_id,
             bloom_df=bloom_df, n_buckets=nb, done_df=done_df,
-            cleanup=cleanup, with_force=True,
+            cleanup=cleanup, seq_partitions=1 if small_list else None,
+            with_force=True,
         )
         new_rows = new_rows.cache()
         if forced is not None:

@@ -69,15 +69,41 @@ def derive_corpus(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     out.write.mode("overwrite").parquet(out_path)
 
 
-def seed_urls(spark: SparkSession, sf_dir: str, n_hosts: int = 5) -> list[str]:
+def seed_urls(spark: SparkSession, sf_dir: str, n_hosts: int = 5,
+              per_host: int = 1) -> list[str]:
+    """Deterministic seed list: ``per_host`` docs per host for the
+    first ``n_hosts`` hosts (by source name), STRIDED evenly across
+    each host's doc_id range rather than a contiguous prefix.
+    Striding matters for what a short bench crawl measures: the
+    corpus's outlinks step +1/+3/+9 docs within a host, so a
+    contiguous seed block's reachable set grows only ~9 docs/host per
+    round (the +9 edge past the block's end — linear ramp), while
+    spread seeds each grow their own ×3 neighborhood until the budget
+    binds — the crawl then measures throughput, not frontier ramp."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    firsts = (
-        d.groupBy("source").agg(F.min("doc_id").alias("doc_id"))
-        .orderBy("source").limit(n_hosts)
+    hosts = Window.partitionBy("source").orderBy("doc_id")
+    strided = (
+        d.withColumn("_rk", F.row_number().over(hosts))
+        .withColumn(
+            "_stride",
+            F.greatest(
+                F.lit(1),
+                (F.count("*").over(Window.partitionBy("source"))
+                 / F.lit(per_host)).cast("int")))
+        .filter(((F.col("_rk") - 1) % F.col("_stride")) == 0)
+    )
+    picked = (
+        strided.withColumn("_pk", F.row_number().over(hosts))
+        .filter(F.col("_pk") <= per_host)
+        .join(
+            d.select("source").distinct().orderBy("source").limit(n_hosts),
+            "source",
+        )
+        .orderBy("source", "doc_id")
     )
     return [
         f"http://{r['source']}.example/d/{r['doc_id']}"
-        for r in firsts.collect()
+        for r in picked.select("source", "doc_id").collect()
     ]
 
 
@@ -89,6 +115,8 @@ def run_flagship(
     host_quota: int = 16,
     workdir: str | None = None,
     use_bloom: bool = True,
+    n_seed_hosts: int = 5,
+    seeds_per_host: int = 1,
 ) -> tuple[CrawlEngine, DataFrame]:
     """Returns (engine, postings DataFrame)."""
     workdir = workdir or tempfile.mkdtemp(prefix="spider_flagship_")
@@ -103,6 +131,7 @@ def run_flagship(
         spark, SnapshotStore(os.path.join(workdir, "state")),
         corpus_path, cfg, use_bloom=use_bloom,
     )
-    eng.bootstrap(seed_urls(spark, sf_dir))
+    eng.bootstrap(seed_urls(spark, sf_dir, n_hosts=n_seed_hosts,
+                            per_host=seeds_per_host))
     eng.run(n_rounds)
     return eng, eng.postings()
