@@ -33,8 +33,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
+    LongType,
     MapType,
     StringType,
     StructField,
@@ -67,6 +69,13 @@ FRAME_SAMPLE_SCHEMA = StructType([
     StructField("media_ref", StringType()),
     StructField("frame_idx", IntegerType()),
     StructField("frame_features", ArrayType(FloatType())),
+])
+
+MEDIA_SUMMARY_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("kind", StringType()),
+    StructField("dim", LongType()),
+    StructField("feat_sum", DoubleType()),
 ])
 
 N_HIST_BINS = 16  # gray-level histogram bins in the image feature vector
@@ -305,6 +314,67 @@ def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
         media.filter(F.col("kind") == "video")
         .mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)
     )
+
+
+def media_feature_summary(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """ONE-PASS decode + featurize + reduce over ALL media kinds:
+    (media_ref, kind, dim, feat_sum) where dim is width / n_samples /
+    sampled-frame count and feat_sum the raw (unrounded) feature-vector
+    sum — summed sequentially, matching a JVM ``aggregate`` left fold
+    over the float32-exact values.
+
+    The per-kind extract_* operators above are the API when a caller
+    needs the full feature vectors; this fused variant exists because
+    a summary over a mixed table otherwise costs one scan + one Python
+    stage PER KIND plus a union and a per-frame groupBy — at small
+    batch counts the extra Python stage spawns dominate, and at scale
+    the three scans read the same payload bytes three times.  Dropped
+    payloads follow the same contract: undecodable media (or video
+    with zero decodable sampled frames) yields no row."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, kinds, dims, sums = [], [], [], []
+            for ref, kind, payload in zip(pdf["media_ref"].values,
+                                          pdf["kind"].values,
+                                          pdf["payload"].values):
+                try:
+                    if kind == "image":
+                        _, w, _, px = decode_bmp(payload)
+                        dim, s = int(w), sum(image_features(px).tolist())
+                    elif kind == "audio":
+                        rate, _, samples = decode_wav(payload)
+                        dim = int(samples.size)
+                        s = sum(audio_features(samples, rate).tolist())
+                    elif kind == "video":
+                        frames = demux_video(payload)
+                        tot, cnt = 0.0, 0
+                        for idx in range(0, len(frames), every_n):
+                            try:
+                                _, _, _, px = decode_bmp(frames[idx])
+                            except ValueError:
+                                continue
+                            tot += sum(image_features(px).tolist())
+                            cnt += 1
+                        if cnt == 0:
+                            continue
+                        dim, s = cnt, tot
+                    else:
+                        continue
+                except ValueError:
+                    continue
+                refs.append(ref)
+                kinds.append(kind)
+                dims.append(dim)
+                sums.append(float(s))
+            yield pd.DataFrame({
+                "media_ref": pd.Series(refs, dtype="object"),
+                "kind": pd.Series(kinds, dtype="object"),
+                "dim": pd.Series(dims, dtype="int64"),
+                "feat_sum": pd.Series(sums, dtype="float64"),
+            })
+
+    return media.mapInPandas(_extract, MEDIA_SUMMARY_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

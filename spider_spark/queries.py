@@ -711,29 +711,16 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + featurize over a deterministic synthetic
     media table (real BMP/WAV/VID0 codecs; rows-only — binary decode is
-    not ANSI SQL; codec exactness is pinned by round-trip tests)."""
+    not ANSI SQL; codec exactness is pinned by round-trip tests).
+
+    One fused mapInPandas pass over all three kinds (one scan, one
+    Python stage); row-identical to composing the three per-kind
+    extract_* operators + union + frame groupBy, pinned by
+    tests/test_analytics.py::test_media_summary_matches_composed."""
     media = multimodal.make_media_table(spark, n=60)
-    img = multimodal.extract_image_features(media).select(
-        "media_ref", F.lit("image").alias("kind"),
-        F.col("width").cast("long").alias("dim"),
-        F.round(F.aggregate("features", F.lit(0.0),
-                            lambda a, x: a + x), 6).alias("feat_sum"),
-    )
-    aud = multimodal.extract_audio_features(media).select(
-        "media_ref", F.lit("audio").alias("kind"),
-        F.col("n_samples").cast("long").alias("dim"),
-        F.round(F.aggregate("features", F.lit(0.0),
-                            lambda a, x: a + x), 6).alias("feat_sum"),
-    )
-    vid = (
-        multimodal.sample_video_frames(media, every_n=5)
-        .groupBy("media_ref")
-        .agg(F.count("*").cast("long").alias("dim"),
-             F.round(F.sum(F.aggregate("frame_features", F.lit(0.0),
-                                       lambda a, x: a + x)), 6).alias("feat_sum"))
-        .select("media_ref", F.lit("video").alias("kind"), "dim", "feat_sum")
-    )
-    return img.unionByName(aud).unionByName(vid)
+    return multimodal.media_feature_summary(media, every_n=5).select(
+        "media_ref", "kind", "dim",
+        F.round("feat_sum", 6).alias("feat_sum"))
 
 
 # ---------------------------------------------------------------------------

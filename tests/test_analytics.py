@@ -281,3 +281,42 @@ def test_lsh_bucket_cap_degenerate_corpus(spark):
     # determinism: lowest doc_ids are the kept ones
     kept = {r.doc_id for r in pairs.collect()} | {r.doc_id2 for r in pairs.collect()}
     assert kept and max(kept) < 16
+
+
+def test_media_summary_matches_composed(spark):
+    """The fused one-pass media_feature_summary must be row-identical
+    (at the query's round-6 precision) to composing the three per-kind
+    extract operators + union + per-frame groupBy."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.analytics import multimodal
+
+    media = multimodal.make_media_table(spark, n=45)
+    fused = {
+        (r["media_ref"], r["kind"]): (r["dim"], round(r["feat_sum"], 6))
+        for r in multimodal.media_feature_summary(media, every_n=5).collect()
+    }
+    img = multimodal.extract_image_features(media).select(
+        "media_ref", F.lit("image").alias("kind"),
+        F.col("width").cast("long").alias("dim"),
+        F.round(F.aggregate("features", F.lit(0.0),
+                            lambda a, x: a + x), 6).alias("feat_sum"))
+    aud = multimodal.extract_audio_features(media).select(
+        "media_ref", F.lit("audio").alias("kind"),
+        F.col("n_samples").cast("long").alias("dim"),
+        F.round(F.aggregate("features", F.lit(0.0),
+                            lambda a, x: a + x), 6).alias("feat_sum"))
+    vid = (
+        multimodal.sample_video_frames(media, every_n=5)
+        .groupBy("media_ref")
+        .agg(F.count("*").cast("long").alias("dim"),
+             F.round(F.sum(F.aggregate("frame_features", F.lit(0.0),
+                                       lambda a, x: a + x)), 6)
+             .alias("feat_sum"))
+        .select("media_ref", F.lit("video").alias("kind"), "dim",
+                "feat_sum"))
+    composed = {
+        (r["media_ref"], r["kind"]): (r["dim"], round(r["feat_sum"], 6))
+        for r in img.unionByName(aud).unionByName(vid).collect()
+    }
+    assert fused == composed
