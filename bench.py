@@ -40,6 +40,7 @@ HEADLINE = [
     "ann_bruteforce",
     "quality_scores",
     "token_counts",
+    "corpus_profile",
     "event_sessions",
     "pricing_summary",
     "top_customers",

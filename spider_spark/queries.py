@@ -510,6 +510,51 @@ SQL_NGRAM_JACCARD = """
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the verified
+    n-gram-Jaccard pair graph (offset +1/+2 candidate pairs, keep
+    jaccard > 0), every document labelled with the smallest reachable
+    doc_id.  This is the keep-one-per-cluster step a training pipeline
+    runs after pair generation; the oracle reproduces it with a
+    recursive transitive closure."""
+    d = _load(spark, sf_dir, "documents")
+    ids = d.select("doc_id")
+    cand = None
+    for off in (1, 2):
+        p = ids.withColumn("doc_id2", F.col("doc_id") + off).join(
+            ids.select(F.col("doc_id").alias("doc_id2")), "doc_id2", "semi"
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    edges = (
+        dedup.ngram_jaccard_pairs(d, cand)
+        .filter(F.col("jaccard") > 0)
+        .select("doc_id", "doc_id2")
+    )
+    return dedup.connected_components(edges, nodes=ids)
+
+
+SQL_DEDUP_COMPONENTS = """
+    WITH RECURSIVE g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 2, 1)),
+               i -> array_to_string(string_split_regex(lower(text), '\\s+')[i:i+2], ' ')
+             )) AS grams
+      FROM documents),
+    p AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 OR b.doc_id = a.doc_id + 2
+      WHERE len(list_intersect(a.grams, b.grams)) > 0),
+    e AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+    reach(src, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node)
+    SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS component
+    FROM reach GROUP BY src
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-pipeline: similarity search
 
@@ -627,6 +672,44 @@ SQL_QUALITY_SCORES = r"""
            + least(stopword_ratio * 4.0, 1.0)
            + alpha_ratio) / 4.0, 6) AS quality
     FROM ratios
+"""
+
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus profile — the ingest-report aggregate
+    a training pipeline runs after every crawl batch: document count,
+    corpus share, total characters, mean whitespace-token length.
+
+    One map-side-combinable hash aggregate over the corpus plus a
+    single-partition window over the tiny group table for the shares
+    (group cardinality = |sources|x|langs|, driver-safe at any SF)."""
+    d = _load(spark, sf_dir, "documents")
+    tok = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    base = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg(tok), 4).alias("avg_tokens"),
+    )
+    return base.withColumn(
+        "corpus_share",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()), 6),
+    )
+
+
+SQL_CORPUS_PROFILE = r"""
+    WITH b AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             ROUND(AVG(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END), 4)
+               AS avg_tokens
+      FROM documents GROUP BY source, lang)
+    SELECT source, lang, n_docs, total_chars, avg_tokens,
+           ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS corpus_share
+    FROM b
 """
 
 
@@ -927,11 +1010,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
+        "corpus_profile": q_corpus_profile,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "media_features": q_media_features,
@@ -961,11 +1046,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         # dedup_minhash / dedup_simhash: rows-only (probabilistic signatures)
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "dedup_components": SQL_DEDUP_COMPONENTS,
         "ann_bruteforce": SQL_ANN_BRUTEFORCE,
         # ann_lsh: rows-only (approximate by design)
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "token_counts": SQL_TOKEN_COUNTS,
         "quality_scores": SQL_QUALITY_SCORES,
+        "corpus_profile": SQL_CORPUS_PROFILE,
         "lang_id": SQL_LANG_ID,
         # fingerprints: rows-only (xxhash64 has no DuckDB twin)
         "event_windows": SQL_EVENT_WINDOWS,

@@ -320,3 +320,42 @@ def test_media_summary_matches_composed(spark):
         for r in img.unionByName(aud).unionByName(vid).collect()
     }
     assert fused == composed
+
+
+def test_connected_components_hand_graph(spark):
+    # two components (4-chain forces label propagation across hops,
+    # triangle), duplicate + reversed edges, plus isolated nodes 50/60
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 1),      # chain 1-2-3-4 (+reverse dup)
+         (10, 11), (11, 12), (10, 12),        # triangle
+         (3, 4)],                             # exact duplicate edge
+        "doc_id long, doc_id2 long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 12, 50, 60)], "doc_id long"
+    )
+    out = {r["doc_id"]: r["component"]
+           for r in dedup.connected_components(pairs, nodes=nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   50: 50, 60: 60}
+
+
+def test_connected_components_long_chain_and_no_nodes(spark):
+    # 16-node chain: min label must travel 15 hops; pointer jumping
+    # gets there in O(log n) rounds well inside max_iter
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 115)], "doc_id long, doc_id2 long"
+    )
+    out = dedup.connected_components(pairs)  # nodes derived from edges
+    rows = out.collect()
+    assert len(rows) == 16
+    assert {r["component"] for r in rows} == {100}
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "doc_id long, doc_id2 long")
+    nodes = spark.createDataFrame([(7,), (9,)], "doc_id long")
+    out = {r["doc_id"]: r["component"]
+           for r in dedup.connected_components(pairs, nodes=nodes).collect()}
+    assert out == {7: 7, 9: 9}
