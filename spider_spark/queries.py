@@ -591,6 +591,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only: cell assignment is approximate by design —
+    deterministic seeded k-means centroids, n_probe nearest cells per
+    query, exact cosine within probed cells; recall and golden cases
+    are pinned in tests/test_analytics.py::test_ivf_topk)."""
+    e = _load(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    cent = similarity.ivf_build(e, dim=dim, n_cells=16)
+    out = similarity.ivf_topk(e, e.filter("vec_id < 10"), cent, k=5)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, blocked by label (exact within block)."""
     e = _load(spark, sf_dir, "embeddings")
@@ -1013,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -1048,7 +1061,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_components": SQL_DEDUP_COMPONENTS,
         "ann_bruteforce": SQL_ANN_BRUTEFORCE,
-        # ann_lsh: rows-only (approximate by design)
+        # ann_lsh / ann_ivf: rows-only (approximate by design)
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "token_counts": SQL_TOKEN_COUNTS,
         "quality_scores": SQL_QUALITY_SCORES,
