@@ -34,6 +34,8 @@ HEADLINE = [
     "term_doc_stats",
     "tf_relevance",
     "search_topk",
+    "search_phrase",
+    "search_bm25",
     "tokenizer_automaton",
     "dedup_exact",
     "dedup_minhash",

@@ -378,6 +378,168 @@ SQL_SEARCH_TOPK = f"""
 """
 
 
+# phrase search is WHY the reference stores per-term position sets
+# (Spider's TermPosEntry pages exist so Library can verify adjacency;
+# SURVEY §2 A5/D5).  Raw-stream positions: stop words still OCCUPY
+# positions (parse.py token_positions semantics) — adjacency is over
+# the unfiltered token sequence, exactly like the reference's stored
+# positions.  Fixed phrase present at every driver SF.
+_PHRASE = ("part", "filter")
+
+
+def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search: docs where ``_PHRASE``'s terms appear
+    at consecutive raw-stream positions; per-doc match count + first
+    match position (1-based).
+
+    Scale shape: each phrase term filters the exploded stream BEFORE
+    any shuffle, and every adjacency step is a pure EQUI-join on
+    (doc_id, pos - k) — Catalyst shuffles both (tiny, pre-filtered)
+    sides on the composite key; no broadcast needed, no non-equi
+    predicate, no skew (positions spread the key space).  An n-term
+    phrase is n-1 chained equi-joins, each input already reduced to
+    one term's postings — the same access pattern a posting-list
+    intersection does on the reference's per-term pages."""
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_PATTERN), 0)
+        ).alias("pos", "term"),
+    )
+    cur = toks.filter(F.col("term") == _PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("p0"))
+    for k, t in enumerate(_PHRASE[1:], start=1):
+        nxt = toks.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - k).alias("p0"))
+        cur = cur.join(nxt, ["doc_id", "p0"])
+    return cur.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        (F.min("p0") + 1).cast("int").alias("first_pos"),
+    )
+
+
+def _phrase_sql(phrase: tuple[str, ...]) -> str:
+    """Chained-join DuckDB twin; list_transform's 1-based index matches
+    the Spark side's 0-based posexplode + 1."""
+    joins = "".join(
+        f"\n      JOIN tok t{k} ON t{k}.doc_id = m0.doc_id"
+        f" AND t{k}.pos = m0.p0 + {k} AND t{k}.term = '{t}'"
+        for k, t in enumerate(phrase[1:], start=1)
+    )
+    return f"""
+    WITH a AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_PATTERN_SQL}') AS arr
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             unnest(list_transform(arr, (x, i) -> struct_pack(t := x, p := i))) AS s
+      FROM a
+    ), tok AS (SELECT doc_id, s.t AS term, s.p AS pos FROM r),
+    m0 AS (SELECT doc_id, pos AS p0 FROM tok WHERE term = '{phrase[0]}'),
+    m AS (SELECT m0.doc_id, m0.p0 FROM m0{joins})
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(p0) AS INTEGER) AS first_pos
+    FROM m GROUP BY doc_id
+"""
+
+
+SQL_SEARCH_PHRASE = _phrase_sql(_PHRASE)
+
+
+# OR-semantics ranked retrieval with BM25 weighting over the SAME
+# filtered token stream tf_relevance uses.  Float determinism: each
+# per-(doc, term) score is one expression; the per-doc combination is
+# a FIXED-ORDER sum of the (≤ len(_SEARCH_TERMS)) conditional
+# aggregates — never a float SUM over an unordered group, whose
+# partition-order rounding could differ between engines.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 20
+
+
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-K for ``_SEARCH_TERMS`` (OR semantics).
+
+    Scale shape: per-doc lengths and the corpus stats come from one
+    token scan; df per term is a count over the (already tiny)
+    per-(doc, term) tf table; the 1-row stats and the |terms|-row df
+    table are broadcast — the only shuffle over corpus-sized data is
+    the two groupBys on doc_id, which AQE coalesces."""
+    toks = _tokens(spark, sf_dir)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("dl"))
+    stats = per_doc.agg(
+        F.sum("dl").alias("tot"),
+        F.count("*").cast("double").alias("n"))
+    tf = (
+        toks.filter(F.col("term").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    # one expression per (doc, term); literal spellings and operator
+    # associativity mirror SQL_SEARCH_BM25 exactly (same IEEE result)
+    s = (
+        F.log(F.lit(1.0) + (F.col("n") - F.col("df") + F.lit(0.5))
+              / (F.col("df") + F.lit(0.5)))
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (F.col("tf") + F.lit(_BM25_K1)
+           * (F.lit(1.0) - F.lit(_BM25_B)
+              + F.lit(_BM25_B) * F.col("dl") * F.col("n") / F.col("tot")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfs), "term")
+        .join(per_doc, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", s.alias("s"))
+    )
+    parts = [
+        F.coalesce(F.sum(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0))
+        for t in _SEARCH_TERMS
+    ]
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(total, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(_BM25_K)
+    )
+
+
+_BM25_SUM_SQL = "\n        + ".join(
+    f"COALESCE(SUM(CASE WHEN term = '{t}' THEN s END), 0.0)"
+    for t in _SEARCH_TERMS
+)
+
+SQL_SEARCH_BM25 = f"""
+    WITH t AS ({_TOKENS_SQL}),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM t GROUP BY doc_id),
+    stats AS (
+      SELECT SUM(dl) AS tot, CAST(COUNT(*) AS DOUBLE) AS n FROM per_doc),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM t WHERE term IN {str(tuple(_SEARCH_TERMS))}
+      GROUP BY doc_id, term),
+    dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1.0 + (n - df + 0.5) / (df + 0.5))
+             * (tf * ({_BM25_K1} + 1.0))
+             / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                + {_BM25_B} * dl * n / tot)) AS s
+      FROM tf JOIN dfs USING (term) JOIN per_doc USING (doc_id)
+      CROSS JOIN stats)
+    SELECT doc_id,
+           ROUND({_BM25_SUM_SQL}, 6) AS score
+    FROM sc GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
 def q_tokenizer_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4: the exact SearchTokenizer automaton over the documents table
     (Arrow UDF).  Not ANSI-SQL-expressible (CJK automaton) → rows-only
@@ -1016,6 +1178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_doc_stats": q_term_doc_stats,
         "tf_relevance": q_tf_relevance,
         "search_topk": q_search_topk,
+        "search_phrase": q_search_phrase,
+        "search_bm25": q_search_bm25,
         "tokenizer_automaton": q_tokenizer_automaton,
         "tokenizer_ascii_jvm": q_tokenizer_ascii_jvm,
         "dedup_exact": q_dedup_exact,
@@ -1054,6 +1218,8 @@ def oracle_sql() -> dict[str, str]:
         "term_doc_stats": SQL_TERM_DOC_STATS,
         "tf_relevance": SQL_TF_RELEVANCE,
         "search_topk": SQL_SEARCH_TOPK,
+        "search_phrase": SQL_SEARCH_PHRASE,
+        "search_bm25": SQL_SEARCH_BM25,
         # tokenizer_automaton: rows-only (CJK automaton not ANSI SQL)
         "tokenizer_ascii_jvm": SQL_TOKENIZER_ASCII_JVM,
         "dedup_exact": SQL_DEDUP_EXACT,
