@@ -447,6 +447,55 @@ def _phrase_sql(phrase: tuple[str, ...]) -> str:
 SQL_SEARCH_PHRASE = _phrase_sql(_PHRASE)
 
 
+_SNIPPET_CTX = 3  # tokens of context either side of the phrase
+
+
+def q_search_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context extraction: for each phrase-matching doc,
+    the ±``_SNIPPET_CTX``-token window around the FIRST match, joined
+    with single spaces — the result-page rendering step downstream of
+    phrase search.
+
+    Scale shape: the phrase-hit side is tiny (output of
+    q_search_phrase); re-tokenization happens only on the matching
+    docs because the hits join PRUNES the documents scan first
+    (broadcast of the hit list), and the window extraction is pure
+    JVM array ops (slice/array_join) — no Python, no extra shuffle
+    beyond the one broadcast join."""
+    hits = q_search_phrase(spark, sf_dir).select("doc_id", "first_pos")
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_PATTERN), 0)
+        .alias("arr"),
+    )
+    j = d.join(F.broadcast(hits), "doc_id")
+    start = F.greatest(F.col("first_pos") - _SNIPPET_CTX, F.lit(1))
+    stop = F.least(F.col("first_pos") + (len(_PHRASE) - 1) + _SNIPPET_CTX,
+                   F.size("arr"))
+    return j.select(
+        "doc_id",
+        F.array_join(F.slice("arr", start, stop - start + F.lit(1)), " ")
+        .alias("snippet"),
+    )
+
+
+SQL_SEARCH_SNIPPET = f"""
+    WITH hits AS (
+      SELECT doc_id, first_pos FROM ({SQL_SEARCH_PHRASE})
+    ), d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_PATTERN_SQL}') AS arr
+      FROM documents
+    )
+    SELECT d.doc_id,
+           array_to_string(
+             list_slice(arr,
+                        GREATEST(first_pos - {_SNIPPET_CTX}, 1),
+                        LEAST(first_pos + {len(_PHRASE) - 1 + _SNIPPET_CTX},
+                              len(arr))), ' ') AS snippet
+    FROM d JOIN hits ON d.doc_id = hits.doc_id
+"""
+
+
 # OR-semantics ranked retrieval with BM25 weighting over the SAME
 # filtered token stream tf_relevance uses.  Float determinism: each
 # per-(doc, term) score is one expression; the per-doc combination is
@@ -1179,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_relevance": q_tf_relevance,
         "search_topk": q_search_topk,
         "search_phrase": q_search_phrase,
+        "search_snippet": q_search_snippet,
         "search_bm25": q_search_bm25,
         "tokenizer_automaton": q_tokenizer_automaton,
         "tokenizer_ascii_jvm": q_tokenizer_ascii_jvm,
@@ -1219,6 +1269,7 @@ def oracle_sql() -> dict[str, str]:
         "tf_relevance": SQL_TF_RELEVANCE,
         "search_topk": SQL_SEARCH_TOPK,
         "search_phrase": SQL_SEARCH_PHRASE,
+        "search_snippet": SQL_SEARCH_SNIPPET,
         "search_bm25": SQL_SEARCH_BM25,
         # tokenizer_automaton: rows-only (CJK automaton not ANSI SQL)
         "tokenizer_ascii_jvm": SQL_TOKENIZER_ASCII_JVM,

@@ -59,6 +59,21 @@ def test_phrase_sql_builder_chains_terms():
     assert "t2.pos = m0.p0 + 2 AND t2.term = 'three'" in sql
 
 
+def test_snippet_window(spark, tiny_docs_dir):
+    got = {
+        r.doc_id: r.snippet
+        for r in Q.q_search_snippet(spark, tiny_docs_dir).collect()
+    }
+    # doc 1: first match at 1-based pos 2 -> window clamps to doc
+    # start, extends 3 tokens past the phrase
+    assert got[1] == "alpha part filter beta part filter"
+    # doc 5: phrase at position 1, only trailing context available
+    assert got[5] == "part filter omega"
+    # doc 3: "the" is inside the leading context window
+    assert got[3] == "the part filter"
+    assert set(got) == {1, 3, 5}
+
+
 def test_bm25_ranking(spark, tiny_docs_dir):
     rows = Q.q_search_bm25(spark, tiny_docs_dir).collect()
     scores = {r.doc_id: r.score for r in rows}
