@@ -42,6 +42,9 @@ HEADLINE = [
     "ann_bruteforce",
     "quality_scores",
     "token_counts",
+    "dataset_split",
+    "vocab_coverage",
+    "length_histogram",
     "corpus_profile",
     "event_sessions",
     "pricing_summary",

@@ -859,6 +859,122 @@ SQL_TOKEN_COUNTS = rf"""
 """
 
 
+# --- dataset-engineering trio: the reproducible-corpus operations a
+# training pipeline runs between dedup and tokenization.  All three
+# are content-hash / count arithmetic both engines express identically
+# (md5 is lowercase hex in Spark AND DuckDB, so a lexicographic
+# compare on the leading hex byte is a deterministic, data-parallel,
+# shuffle-free splitter — the 100-TB idiom for train/val/test).
+
+_SPLIT_TRAIN_HI = "cc"  # md5 byte < 0xcc -> train (~79.7%)
+_SPLIT_VAL_HI = "e6"    # < 0xe6 -> val (~10.2%); rest -> test
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split report.
+
+    Scale shape: the split label is a pure per-row expression (no
+    shuffle, no RNG state, reproducible under any partitioning or
+    re-run — unlike ``df.randomSplit``, whose assignment depends on
+    partition layout); the only shuffle is the 3-group rollup."""
+    d = _load(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("text")), 1, 2)
+    split = (
+        F.when(b < _SPLIT_TRAIN_HI, "train")
+        .when(b < _SPLIT_VAL_HI, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("n_chars").cast("long").alias("total_chars"))
+    )
+
+
+SQL_DATASET_SPLIT = f"""
+    SELECT CASE WHEN substr(md5(text), 1, 2) < '{_SPLIT_TRAIN_HI}' THEN 'train'
+                WHEN substr(md5(text), 1, 2) < '{_SPLIT_VAL_HI}' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+"""
+
+
+_VOCAB_K = 50
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K vocabulary with cumulative corpus coverage (the
+    vocabulary-pruning decision table: how many terms cover how much
+    of the token stream).
+
+    Scale shape: the corpus-sized work is ONE term groupBy (map-side
+    partial agg); the global orderBy+limit is Spark's TakeOrdered
+    (per-partition top-K, then a K-row driver merge — no full sort),
+    and the running-sum window runs over only the K surviving rows.
+    Coverage is an exact integer running sum with a single float
+    division at the end."""
+    toks = _tokens(spark, sf_dir)
+    counts = toks.groupBy("term").agg(F.count("*").alias("occ"))
+    tot = counts.agg(F.sum("occ").cast("double").alias("tot"))
+    top = counts.orderBy(F.col("occ").desc(), "term").limit(_VOCAB_K)
+    w = (Window.orderBy(F.col("occ").desc(), "term")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(
+                Window.orderBy(F.col("occ").desc(), "term"))
+            .cast("int").alias("rank"),
+            "term",
+            F.col("occ").cast("long").alias("occurrences"),
+            F.round(F.sum("occ").over(w).cast("double") / F.col("tot"), 6)
+            .alias("coverage"),
+        )
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+    WITH t AS ({_TOKENS_SQL}),
+    c AS (SELECT term, COUNT(*) AS occ FROM t GROUP BY term),
+    tot AS (SELECT CAST(SUM(occ) AS DOUBLE) AS tot FROM c),
+    top AS (SELECT term, occ FROM c ORDER BY occ DESC, term LIMIT {_VOCAB_K})
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY occ DESC, term) AS INTEGER) AS rank,
+           term, CAST(occ AS BIGINT) AS occurrences,
+           ROUND(CAST(SUM(occ) OVER (ORDER BY occ DESC, term
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot, 6) AS coverage
+    FROM top CROSS JOIN tot
+"""
+
+
+_HIST_BIN = 500
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (``n_chars`` in {_HIST_BIN}-char
+    bins) — the length-filter tuning view.  Pure per-row bucket
+    expression + one small rollup; no shuffle beyond the groupBy."""
+    d = _load(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / _HIST_BIN).cast("int")
+    return (
+        d.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"))
+    )
+
+
+SQL_LENGTH_HISTOGRAM = f"""
+    SELECT CAST(FLOOR(n_chars / {_HIST_BIN}) AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY 1
+"""
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return text.quality_score(d).select(
@@ -1242,6 +1358,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "token_counts": q_token_counts,
+        "dataset_split": q_dataset_split,
+        "vocab_coverage": q_vocab_coverage,
+        "length_histogram": q_length_histogram,
         "quality_scores": q_quality_scores,
         "corpus_profile": q_corpus_profile,
         "lang_id": q_lang_id,
@@ -1281,6 +1400,9 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh / ann_ivf: rows-only (approximate by design)
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "token_counts": SQL_TOKEN_COUNTS,
+        "dataset_split": SQL_DATASET_SPLIT,
+        "vocab_coverage": SQL_VOCAB_COVERAGE,
+        "length_histogram": SQL_LENGTH_HISTOGRAM,
         "quality_scores": SQL_QUALITY_SCORES,
         "corpus_profile": SQL_CORPUS_PROFILE,
         "lang_id": SQL_LANG_ID,

@@ -359,3 +359,32 @@ def test_connected_components_empty_pairs(spark):
     out = {r["doc_id"]: r["component"]
            for r in dedup.connected_components(pairs, nodes=nodes).collect()}
     assert out == {7: 7, 9: 9}
+
+
+def test_dataset_split_deterministic_and_partition_invariant(spark, sf_dir):
+    from spider_spark import queries as Q
+    a = {r.split: (r.n_docs, r.total_chars)
+         for r in Q.q_dataset_split(spark, sf_dir).collect()}
+    assert set(a) == {"train", "val", "test"}
+    total = sum(v[0] for v in a.values())
+    # content-hash split: ~80/10/10 by construction of the hex cutoffs
+    assert 0.7 < a["train"][0] / total < 0.9
+    # invariant under partition layout (the property randomSplit lacks)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(17)
+    tmp = f"{spark.conf.get('spark.local.dir', '/tmp')}/split_repart"
+    d.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    b = {r.split: (r.n_docs, r.total_chars)
+         for r in Q.q_dataset_split(spark, tmp).collect()}
+    assert a == b
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    from spider_spark import queries as Q
+    rows = sorted(Q.q_vocab_coverage(spark, sf_dir).collect(),
+                  key=lambda r: r.rank)
+    assert rows[0].rank == 1
+    covs = [r.coverage for r in rows]
+    assert all(c1 <= c2 for c1, c2 in zip(covs, covs[1:]))
+    assert 0.0 < covs[0] <= covs[-1] <= 1.0
+    occs = [r.occurrences for r in rows]
+    assert all(o1 >= o2 for o1, o2 in zip(occs, occs[1:]))
