@@ -35,6 +35,7 @@ HEADLINE = [
     "tf_relevance",
     "search_topk",
     "search_phrase",
+    "search_snippet",
     "search_bm25",
     "tokenizer_automaton",
     "dedup_exact",
@@ -75,6 +76,11 @@ def main() -> None:
     steal_pre = steal_probe()
     spark = get_spark(app_name="spider_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # one trivial job before the timing loop so the FIRST headline
+    # query doesn't absorb executor/codegen/Arrow session init (~4-5s
+    # that belongs to the session, not to topk_per_host)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     registry = Q.queries()
     times: dict[str, float] = {}
