@@ -388,3 +388,20 @@ def test_vocab_coverage_monotone(spark, sf_dir):
     assert 0.0 < covs[0] <= covs[-1] <= 1.0
     occs = [r.occurrences for r in rows]
     assert all(o1 >= o2 for o1, o2 in zip(occs, occs[1:]))
+
+
+def test_dataset_engineering_plan_shapes(spark, sf_dir):
+    """100-TB plan pins: vocab's global top-K must be TakeOrdered (per-
+    partition top-K + K-row driver merge), never a full Sort; the split
+    and histogram rollups must be single-shuffle with column-pruned
+    scans (no join, no text column read where not needed)."""
+    from spider_spark import queries as Q
+    vocab = Q.q_vocab_coverage(spark, sf_dir)
+    vplan = vocab._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in vplan
+
+    hist = Q.q_length_histogram(spark, sf_dir)
+    hplan = hist._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in hplan
+    # projection pruning reached the parquet scan: only n_chars read
+    assert "text#" not in hplan
