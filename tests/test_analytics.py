@@ -405,3 +405,30 @@ def test_dataset_engineering_plan_shapes(spark, sf_dir):
     assert "Join" not in hplan
     # projection pruning reached the parquet scan: only n_chars read
     assert "text#" not in hplan
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """Measured recall@k pin for IVF on the real embeddings table:
+    ground truth = exact brute force; recall must clear a floor at
+    moderate n_probe and be non-decreasing as more cells are probed
+    (probing every cell = exhaustive search = recall 1.0)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    qs = e.filter("vec_id < 20")
+    truth = {}
+    for r in similarity.brute_force_topk(e, qs, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    cent = similarity.ivf_build(e, dim=dim, n_cells=8)
+
+    def recall(n_probe):
+        got = {}
+        for r in similarity.ivf_topk(e, qs, cent, k=5, n_probe=n_probe).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        return hits / sum(len(v) for v in truth.values())
+
+    r2, r4, r8 = recall(2), recall(4), recall(8)
+    assert r2 >= 0.4, f"recall@5 with n_probe=2 too low: {r2}"
+    assert r4 >= r2 and r8 >= r4, (r2, r4, r8)
+    assert r8 == 1.0  # probing all 8 cells is exhaustive
