@@ -71,6 +71,13 @@ FRAME_SAMPLE_SCHEMA = StructType([
     StructField("frame_features", ArrayType(FloatType())),
 ])
 
+RESIZED_IMAGE_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("payload", BinaryType()),        # re-encoded BMP
+])
+
 MEDIA_SUMMARY_SCHEMA = StructType([
     StructField("media_ref", StringType()),
     StructField("kind", StringType()),
@@ -194,6 +201,18 @@ def demux_video(payload: bytes) -> list[bytes]:
 # ---------------------------------------------------------------------------
 # feature kernels (whole-array numpy over decoded pixels/samples)
 
+def resize_image(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize by whole-array fancy indexing (no
+    per-pixel Python): output (out_h, out_w, C) views the source rows/
+    cols selected by integer coordinate maps."""
+    h, w = pixels.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("cannot resize an empty image")
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return pixels[rows[:, None], cols[None, :]]
+
+
 def image_features(pixels: np.ndarray) -> np.ndarray:
     """HxWx3 uint8 -> [mean_r,g,b, std_r,g,b, 16-bin gray histogram]
     (length 6 + N_HIST_BINS), all float32 in [0, 1]-ish ranges."""
@@ -280,6 +299,42 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return (
         media.filter(F.col("kind") == "audio")
         .mapInPandas(_extract, AUDIO_FEATURES_SCHEMA)
+    )
+
+
+def resize_images(media: DataFrame, out_h: int = 16,
+                  out_w: int = 16) -> DataFrame:
+    """Arrow-batched decode → nearest-neighbor resize → re-encode:
+    the thumbnail/normalization stage of a training pipeline.  Output
+    payloads are valid BMPs at (out_h, out_w); undecodable inputs are
+    dropped (same filter-stage contract as extract_image_features).
+    Per-payload Python is the outer loop only — the pixel work is
+    whole-array numpy indexing (resize_image)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, ws, hs, payloads = [], [], [], []
+            for ref, payload in zip(pdf["media_ref"].values,
+                                    pdf["payload"].values):
+                try:
+                    _, _, _, px = decode_bmp(payload)
+                    small = resize_image(px, out_h, out_w)
+                except ValueError:
+                    continue
+                refs.append(ref)
+                ws.append(out_w)
+                hs.append(out_h)
+                payloads.append(encode_bmp(small))
+            yield pd.DataFrame({
+                "media_ref": pd.Series(refs, dtype="object"),
+                "width": pd.Series(ws, dtype="int64"),
+                "height": pd.Series(hs, dtype="int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+            })
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .mapInPandas(_resize, RESIZED_IMAGE_SCHEMA)
     )
 
 

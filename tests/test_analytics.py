@@ -432,3 +432,26 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert r2 >= 0.4, f"recall@5 with n_probe=2 too low: {r2}"
     assert r4 >= r2 and r8 >= r4, (r2, r4, r8)
     assert r8 == 1.0  # probing all 8 cells is exhaustive
+
+
+def test_resize_image_kernel():
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = multimodal.resize_image(px, 2, 3)
+    # nearest-neighbor coordinate maps: rows [0,2], cols [0,2,4]
+    assert out.shape == (2, 3, 3)
+    assert (out == px[[0, 2]][:, [0, 2, 4]]).all()
+    up = multimodal.resize_image(px, 8, 12)  # upscale = repetition
+    assert up.shape == (8, 12, 3)
+    assert (up[0] == up[1]).all()
+    with pytest.raises(ValueError):
+        multimodal.resize_image(np.zeros((0, 0, 3), dtype=np.uint8), 4, 4)
+
+
+def test_resize_images_operator(spark):
+    media = multimodal.make_media_table(spark, n=24, seed=3)
+    out = multimodal.resize_images(media, 8, 8).collect()
+    assert len(out) == media.filter("kind = 'image'").count() > 0
+    for r in out:
+        h, w, c, px = multimodal.decode_bmp(bytes(r.payload))
+        assert (h, w, px.shape) == (8, 8, (8, 8, 3))
+        assert (r.height, r.width) == (8, 8)
