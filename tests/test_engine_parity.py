@@ -125,3 +125,53 @@ def test_status_machine_sanity(engine, oracle):
     # redirect handling produced SUCCEEDED pages and the corpus has 404s
     assert eng_counts.get("INDEXED", 0) > 0
     assert eng_counts.get("FAILED", 0) > 0
+
+
+def test_consumer_search_over_real_postings(engine, oracle):
+    """The Library-side consumer path (SURVEY §2 A5/A7 downstream) run
+    over the engine's OWN index: AND-intersection + phrase adjacency on
+    the stored position sets, checked against a pure-Python
+    recomputation over the oracle's (bit-identical) postings."""
+    from spider_spark.operators import search as S
+
+    posts = oracle.state.postings
+    by_doc: dict[str, dict[int, str]] = {}
+    rel: dict[str, dict[str, float]] = {}
+    for p in posts:
+        rel.setdefault(p.doc_id, {})[p.term] = float(p.rel)
+        m = by_doc.setdefault(p.doc_id, {})
+        for pos in p.positions:
+            m[pos] = p.term
+
+    # deterministically pick the most frequent adjacent (t1, t2) bigram
+    from collections import Counter
+    pairs = Counter()
+    for m in by_doc.values():
+        for pos, t in m.items():
+            t2 = m.get(pos + 1)
+            if t2 is not None and t2 != t:
+                pairs[(t, t2)] += 1
+    assert pairs, "corpus produced no adjacent term pair"
+    (t1, t2), _ = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+
+    expected_phrase = {}
+    for doc, m in by_doc.items():
+        ends = sorted(pos + 1 for pos, t in m.items()
+                      if t == t1 and m.get(pos + 1) == t2)
+        if ends:
+            expected_phrase[doc] = (len(ends), ends[0])
+    got_phrase = {
+        r.doc_id: (r.n_matches, r.first_end_pos)
+        for r in S.phrase_search(engine.postings(), t1, t2).collect()
+    }
+    assert got_phrase == expected_phrase
+    assert expected_phrase  # the chosen bigram must actually match
+
+    # AND-search: exact score + ordering vs the recomputation
+    exp = sorted(
+        ((round(rel[d][t1] + rel[d][t2], 6), d) for d in rel
+         if t1 in rel[d] and t2 in rel[d]),
+        key=lambda sd: (-sd[0], sd[1]))[:10]
+    got = [(r.score, r.doc_id)
+           for r in S.and_search(engine.postings(), [t1, t2], k=10).collect()]
+    assert got == exp
