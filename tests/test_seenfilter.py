@@ -310,3 +310,22 @@ def test_empty_seed_bootstrap(spark, corpus_dir, corpus, crawl_config,
     assert eng.run(2) == 0  # rounds over an empty frontier are no-ops
     assert eng.enqueue(corpus["seeds"][:1], force=False) == 1
     assert eng.run(1) == 1  # and the engine recovers once seeded
+
+
+def test_zero_budget_round_is_noop(spark, corpus_dir, corpus, tmp_path):
+    """C1/C2 edge: max_parallel 0/0 (the reference's DEFAULT config —
+    crawl disabled until configured, db/Config.java:43-44).  A round
+    must fetch nothing, change nothing, and not crash."""
+    cfg = CrawlConfig(max_parallel_working=0, max_parallel_non_working=0,
+                      default_host_quota=3)
+    eng = _mk_engine(spark, corpus_dir, cfg, str(tmp_path / "zb"))
+    eng.bootstrap(corpus["seeds"])
+    before = {r["status"]: r["count"] for r in
+              eng.frontier().groupBy("status").count().collect()}
+    assert eng.run(2) == 0
+    after = {r["status"]: r["count"] for r in
+             eng.frontier().groupBy("status").count().collect()}
+    assert before == after
+    # seeds include non-canonical twins + badlisted urls; admission
+    # collapses them, but everything admitted must still be QUEUED
+    assert set(before) == {"QUEUED"} and before["QUEUED"] > 0
