@@ -406,7 +406,21 @@ def connected_components(
     )
 
     if nodes is not None:
+        # an explicit node set means "components of the graph INDUCED
+        # on these nodes": drop edges touching outside ids up front so
+        # message propagation can neither emit output rows for, nor
+        # route labels through, endpoints the caller filtered away
         lab = nodes.select(F.col(id_col).cast("long").alias("node")).distinct()
+        # plain left_semi (no broadcast hint): nodes may be the whole
+        # corpus, so AQE picks broadcast only when it actually fits
+        node_set = lab.select(F.col("node").alias("_n"))
+        e_ind = (
+            e.join(node_set, e["u"] == F.col("_n"), "left_semi")
+            .join(node_set, F.col("v") == F.col("_n"), "left_semi")
+            .persist()
+        )
+        e.unpersist()
+        e = e_ind
     else:
         lab = e.select(F.col("u").alias("node")).distinct()
     lab = lab.withColumn("component", F.col("node")).localCheckpoint()

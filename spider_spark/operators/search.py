@@ -33,8 +33,11 @@ def and_search(postings: DataFrame, terms: Sequence[str],
 
     The countDistinct == len(terms) gate is the hit-list
     intersection; TakeOrdered gives per-partition top-K + a K-row
-    driver merge (no global sort)."""
-    terms = list(terms)
+    driver merge (no global sort).  Duplicate query terms are
+    collapsed first — countDistinct can never exceed the number of
+    DISTINCT terms, so comparing against len(terms) with dupes kept
+    would be unsatisfiable and silently return zero rows."""
+    terms = list(dict.fromkeys(terms))
     hits = (
         postings.filter(F.col("term").isin(terms))
         .groupBy("doc_id")

@@ -353,6 +353,23 @@ def test_connected_components_long_chain_and_no_nodes(spark):
     assert {r["component"] for r in rows} == {100}
 
 
+def test_connected_components_induced_subgraph(spark):
+    # explicit nodes = induced-subgraph semantics: endpoints outside
+    # nodes yield no output rows, and connectivity THROUGH an excluded
+    # node does not merge components (1-2-99-3-4 with 99 filtered out
+    # splits into {1,2} and {3,4})
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 99), (99, 3), (3, 4), (99, 100)],
+        "doc_id long, doc_id2 long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4)], "doc_id long"
+    )
+    out = {r["doc_id"]: r["component"]
+           for r in dedup.connected_components(pairs, nodes=nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
 def test_connected_components_empty_pairs(spark):
     pairs = spark.createDataFrame([], "doc_id long, doc_id2 long")
     nodes = spark.createDataFrame([(7,), (9,)], "doc_id long")
@@ -407,12 +424,12 @@ def test_dataset_engineering_plan_shapes(spark, sf_dir):
     assert "text#" not in hplan
 
 
-def test_ivf_recall_vs_bruteforce(spark):
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     """Measured recall@k pin for IVF on the real embeddings table:
     ground truth = exact brute force; recall must clear a floor at
     moderate n_probe and be non-decreasing as more cells are probed
     (probing every cell = exhaustive search = recall 1.0)."""
-    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(e.select("embedding").first()[0])
     qs = e.filter("vec_id < 20")
     truth = {}

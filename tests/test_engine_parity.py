@@ -175,3 +175,10 @@ def test_consumer_search_over_real_postings(engine, oracle):
     got = [(r.score, r.doc_id)
            for r in S.and_search(engine.postings(), [t1, t2], k=10).collect()]
     assert got == exp
+
+    # duplicate query terms collapse to the distinct set instead of
+    # making the intersection gate unsatisfiable (ADVICE r4)
+    got_dup = [(r.score, r.doc_id)
+               for r in S.and_search(engine.postings(),
+                                     [t1, t2, t1, t2], k=10).collect()]
+    assert got_dup == exp
