@@ -33,6 +33,7 @@ HEADLINE = [
     "seen_antijoin",
     "term_doc_stats",
     "tf_relevance",
+    "doc_tfidf",
     "search_topk",
     "search_phrase",
     "search_snippet",

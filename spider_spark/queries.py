@@ -766,6 +766,93 @@ SQL_DEDUP_COMPONENTS = """
 """
 
 
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after clustering: per near-dup component, keep ONE
+    representative (the component label = smallest doc_id) and report
+    what the policy drops — cluster size, largest member, dropped
+    count.  Only multi-member clusters appear (singletons drop
+    nothing).  Scale shape: one hash groupBy over the CC labelling —
+    map-side partial agg, no extra scan of the text column."""
+    comp = q_dedup_components(spark, sf_dir)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("cluster_size"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+            (F.count("*") - 1).cast("long").alias("n_dropped"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+SQL_DEDUP_REPRESENTATIVES = f"""
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM ({SQL_DEDUP_COMPONENTS})
+    GROUP BY component HAVING COUNT(*) > 1
+"""
+
+
+def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms by TF-IDF — the
+    keyword-extraction pass a training pipeline runs for corpus
+    profiling / topic balancing.  IDF is the LINEAR variant
+    ``N / df`` (not ``ln``): the score is then one IEEE division of
+    two exact integer products (``occ*N / total*df``), bit-identical
+    between Spark and the DuckDB oracle, so ranking ties break the
+    same way in both engines (score desc, term asc).
+
+    Scale shape: two hash-aggs over the token stream (per-(doc,term)
+    occ, per-doc total) + a broadcast-sized per-term df join + one
+    window top-K per doc — the same shuffle profile as tf_relevance
+    plus a per-doc ranking; nothing driver-side."""
+    toks = _tokens(spark, sf_dir)
+    per_term = toks.groupBy("doc_id", "term").agg(F.count("*").alias("occ"))
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("total"))
+    df_tbl = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = per_doc.select(F.count("*").alias("n"))
+    scored = (
+        per_term.join(per_doc, "doc_id")
+        .join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            ((F.col("occ") * F.col("n")).cast("double")
+             / (F.col("total") * F.col("df")).cast("double")).alias("_s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("_s").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", F.round("_s", 6).alias("tfidf"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SQL_DOC_TFIDF = f"""
+    WITH t AS ({_TOKENS_SQL}),
+    per_term AS (SELECT doc_id, term, COUNT(*) AS occ FROM t GROUP BY doc_id, term),
+    per_doc AS (SELECT doc_id, COUNT(*) AS total FROM t GROUP BY doc_id),
+    df_tbl AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
+    n_docs AS (SELECT COUNT(*) AS n FROM per_doc),
+    scored AS (
+      SELECT p.doc_id, p.term,
+             CAST(p.occ * n.n AS DOUBLE) / CAST(d.total * f.df AS DOUBLE) AS s
+      FROM per_term p
+      JOIN per_doc d ON p.doc_id = d.doc_id
+      JOIN df_tbl f ON p.term = f.term
+      CROSS JOIN n_docs n),
+    ranked AS (
+      SELECT doc_id, term, s,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rank
+      FROM scored)
+    SELECT doc_id, term, ROUND(s, 6) AS tfidf, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-pipeline: similarity search
 
@@ -1353,6 +1440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "dedup_representatives": q_dedup_representatives,
+        "doc_tfidf": q_doc_tfidf,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1396,6 +1485,8 @@ def oracle_sql() -> dict[str, str]:
         # dedup_minhash / dedup_simhash: rows-only (probabilistic signatures)
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_components": SQL_DEDUP_COMPONENTS,
+        "dedup_representatives": SQL_DEDUP_REPRESENTATIVES,
+        "doc_tfidf": SQL_DOC_TFIDF,
         "ann_bruteforce": SQL_ANN_BRUTEFORCE,
         # ann_lsh / ann_ivf: rows-only (approximate by design)
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
