@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_minhash",
     "ann_bruteforce",
     "quality_scores",
+    "repetition_scores",
     "token_counts",
     "dataset_split",
     "vocab_coverage",

@@ -82,6 +82,68 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ---- repetition / degenerate-text signals (JVM-side) -----------------------
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher-rules-style repetition signals per document (public
+    Gopher / RefinedWeb filtering literature): the fraction of
+    duplicate word trigrams and the corpus-share of the most frequent
+    word bigram — the two standard detectors for degenerate or
+    boilerplate-looped text that length/punctuation profiles miss.
+
+    Only documents with >= 3 whitespace tokens are emitted (shorter
+    ones have no trigram and their signals are undefined).
+
+    Scale shape: the trigram duplicate fraction is a pure per-row JVM
+    array expression (transform over an index sequence +
+    array_distinct — whole-stage codegen, zero shuffle); the top-
+    bigram share explodes bigrams into one hash-agg keyed
+    (doc, bigram) then a per-doc max/sum — two map-side-combinable
+    shuffles, both partitioned on the id, no skew beyond document
+    length (bounded upstream by the corpus's length profile).  Every
+    ratio is one IEEE division of exact integer counts, so the DuckDB
+    oracle reproduces it bit-identically.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = (
+        df.select(F.col(id_col), words.alias("_w"))
+        .withColumn("n_words", F.size("_w").cast("long"))
+        .filter(F.col("n_words") >= 3)
+    )
+    # index the sequence off size() (INT), not the bigint n_words col:
+    # element_at's index parameter is INT and transform's lambda var
+    # inherits the sequence element type
+    tg = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("_w", i), F.element_at("_w", i + 1),
+            F.element_at("_w", i + 2)),
+    )
+    with_tri = base.withColumn(
+        "dup_trigram_frac",
+        ((F.size(tg) - F.size(F.array_distinct(tg))).cast("double")
+         / F.size(tg).cast("double")),
+    )
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("_w", i), F.element_at("_w", i + 1)),
+    )
+    bigram_share = (
+        base.select(F.col(id_col), F.explode(bg).alias("_bg"))
+        .groupBy(id_col, "_bg")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg((F.max("_c").cast("double") / F.sum("_c").cast("double"))
+             .alias("top_bigram_share"))
+    )
+    return (
+        with_tri.select(id_col, "n_words", "dup_trigram_frac")
+        .join(bigram_share, id_col)
+    )
+
+
 # ---- language ID (Arrow UDF; char-class n-gram heuristic) ------------------
 
 _LANG_RANGES = [

@@ -1101,6 +1101,54 @@ SQL_QUALITY_SCORES = r"""
 """
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules repetition signals: duplicate-trigram fraction
+    (per-row JVM array expression, zero shuffle) + top-bigram share
+    (one (doc, bigram) hash-agg then a per-doc max/sum).  Ratios are
+    single divisions of exact integer counts — bit-identical to the
+    DuckDB oracle."""
+    d = _load(spark, sf_dir, "documents")
+    return text.repetition_features(d).select(
+        "doc_id", "n_words",
+        F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
+        F.round("top_bigram_share", 6).alias("top_bigram_share"),
+    )
+
+
+SQL_REPETITION_SCORES = r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+      FROM documents),
+    base AS (
+      SELECT doc_id, words, len(words) AS n_words FROM w
+      WHERE len(words) >= 3),
+    tri AS (
+      SELECT doc_id, n_words,
+        list_transform(generate_series(1, n_words - 2),
+          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS tg
+      FROM base),
+    dup AS (
+      SELECT doc_id, n_words,
+        CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+          / CAST(len(tg) AS DOUBLE) AS dup_trigram_frac
+      FROM tri),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, n_words - 1),
+        i -> words[i] || ' ' || words[i+1])) AS bigram
+      FROM base),
+    bgc AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
+    share AS (
+      SELECT doc_id,
+        CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_share
+      FROM bgc GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.n_words AS BIGINT) AS n_words,
+      ROUND(d.dup_trigram_frac, 6) AS dup_trigram_frac,
+      ROUND(s.top_bigram_share, 6) AS top_bigram_share
+    FROM dup d JOIN share s ON d.doc_id = s.doc_id
+"""
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) corpus profile — the ingest-report aggregate
     a training pipeline runs after every crawl batch: document count,
@@ -1451,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "length_histogram": q_length_histogram,
         "quality_scores": q_quality_scores,
+        "repetition_scores": q_repetition_scores,
         "corpus_profile": q_corpus_profile,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -1495,6 +1544,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "length_histogram": SQL_LENGTH_HISTOGRAM,
         "quality_scores": SQL_QUALITY_SCORES,
+        "repetition_scores": SQL_REPETITION_SCORES,
         "corpus_profile": SQL_CORPUS_PROFILE,
         "lang_id": SQL_LANG_ID,
         # fingerprints: rows-only (xxhash64 has no DuckDB twin)

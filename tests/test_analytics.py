@@ -322,6 +322,23 @@ def test_media_summary_matches_composed(spark):
     assert fused == composed
 
 
+def test_repetition_features_goldens(spark):
+    # "a b a b a b": trigrams [a b a, b a b, a b a, b a b] -> dup 2/4;
+    # bigrams [a b]x3 + [b a]x2 -> top share 3/5.  Unique text -> dup
+    # 0, share 1/3.  Two-word docs are excluded (no trigram).
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "one two three four"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.repetition_features(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_words"] == 6
+    assert out[1]["dup_trigram_frac"] == pytest.approx(0.5)
+    assert out[1]["top_bigram_share"] == pytest.approx(3 / 5)
+    assert out[2]["dup_trigram_frac"] == 0.0
+    assert out[2]["top_bigram_share"] == pytest.approx(1 / 3)
+
+
 def test_connected_components_hand_graph(spark):
     # two components (4-chain forces label propagation across hops,
     # triangle), duplicate + reversed edges, plus isolated nodes 50/60
