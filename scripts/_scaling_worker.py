@@ -95,6 +95,12 @@ def _common(builder):
         # (high-sys%-idle-cores stalls — see session.py note)
         .config("spark.python.unix.domain.socket.enabled",
                 os.environ.get("SPIDER_UDS", "true"))
+        # shuffle/broadcast/spill block codec: lz4 (Spark default) vs
+        # zstd A/B for the DRAM-bandwidth-bound regime found in round 5
+        # (fewer bytes through the shared memory system per shuffle,
+        # more compute per byte)
+        .config("spark.io.compression.codec",
+                os.environ.get("SPIDER_IO_CODEC", "lz4"))
         .config("spark.ui.enabled", "false")
         # diagnostics: per-stage task/GC/scheduler-delay forensics for
         # the scaling hunt (parsed by scripts/stage_table.py)
