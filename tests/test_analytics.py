@@ -441,6 +441,19 @@ def test_dataset_engineering_plan_shapes(spark, sf_dir):
     assert "text#" not in hplan
 
 
+def test_round5_text_query_plan_shapes(spark, sf_dir):
+    """100-TB plan pins for the round-5 text queries: both must stay
+    entirely JVM-side (no Python/Arrow eval nodes — the ratios and
+    n-gram arrays are built-in expressions) and prune the documents
+    scan to (doc_id, text)."""
+    from spider_spark import queries as Q
+    for fn in (Q.q_doc_tfidf, Q.q_repetition_scores):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "ArrowEval" not in plan
+        assert "lang#" not in plan and "source#" not in plan
+        assert "n_chars#" not in plan
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     """Measured recall@k pin for IVF on the real embeddings table:
     ground truth = exact brute force; recall must clear a floor at
