@@ -224,6 +224,31 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
     )
 
 
+def incremental_duplicates(incoming: DataFrame, existing: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Incremental exact dedup: incoming-batch documents whose
+    normalized-content hash already exists in the accepted corpus —
+    the drop-list a production pipeline computes per ingest batch
+    (dedup against everything kept so far, NOT a one-shot groupBy of
+    the whole corpus).
+
+    Scale shape: one left-semi hash join of the incoming batch against
+    the existing corpus's DISTINCT hash set, keyed on the hash — the
+    batch side is small relative to the corpus, the corpus side is a
+    hash-pruned distinct projection (only the hash column survives the
+    scan), and AQE broadcasts whichever side fits.  At 100 TB the
+    existing side is the materialized fingerprint table this same
+    expression produces, so the join reads hashes, never text.
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    inc = incoming.select(F.col(id_col).alias("doc_id"),
+                          F.md5(norm).alias("content_hash"))
+    seen = existing.select(F.md5(norm).alias("content_hash")).distinct()
+    return inc.join(seen, "content_hash", "left_semi").select(
+        "doc_id", "content_hash")
+
+
 def make_simhash_udf(seed: int = 42):
     """64-bit SimHash over whitespace tokens (crc32 token hashes,
     frequency-weighted bit votes)."""

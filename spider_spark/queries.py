@@ -766,6 +766,33 @@ SQL_DEDUP_COMPONENTS = """
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch incremental dedup: treat even doc_ids as the accepted
+    corpus and odd doc_ids as the incoming batch; return incoming docs
+    whose normalized-content hash already exists in the corpus (the
+    batch's drop-list).  One left-semi hash join against the corpus's
+    distinct hash projection — the production shape (dedup each ingest
+    batch against everything kept so far), vs dedup_exact's one-shot
+    whole-corpus groupBy."""
+    d = _load(spark, sf_dir, "documents")
+    return dedup.incremental_duplicates(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
+SQL_DEDUP_INCREMENTAL = r"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash
+      FROM documents)
+    SELECT i.doc_id, i.content_hash
+    FROM h i
+    WHERE i.doc_id % 2 = 1
+      AND i.content_hash IN (SELECT content_hash FROM h WHERE doc_id % 2 = 0)
+"""
+
+
 def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The step after clustering: per near-dup component, keep ONE
     representative (the component label = smallest doc_id) and report
@@ -1488,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_representatives": q_dedup_representatives,
         "doc_tfidf": q_doc_tfidf,
         "ann_bruteforce": q_ann_bruteforce,
@@ -1534,6 +1562,7 @@ def oracle_sql() -> dict[str, str]:
         # dedup_minhash / dedup_simhash: rows-only (probabilistic signatures)
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_components": SQL_DEDUP_COMPONENTS,
+        "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "dedup_representatives": SQL_DEDUP_REPRESENTATIVES,
         "doc_tfidf": SQL_DOC_TFIDF,
         "ann_bruteforce": SQL_ANN_BRUTEFORCE,

@@ -322,6 +322,19 @@ def test_media_summary_matches_composed(spark):
     assert fused == composed
 
 
+def test_incremental_duplicates_golden(spark):
+    # whitespace-collapse + lowercase normalization collides doc 1
+    # ("a  b") with existing doc 2 ("A b"); doc 3 is novel
+    docs = spark.createDataFrame(
+        [(1, "a  b"), (3, "c")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(2, "A b"), (4, "d")], "doc_id long, text string")
+    out = dedup.incremental_duplicates(docs, corpus).collect()
+    assert [(r["doc_id"],) for r in out] == [(1,)]
+    import hashlib
+    assert out[0]["content_hash"] == hashlib.md5(b"a b").hexdigest()
+
+
 def test_repetition_features_goldens(spark):
     # "a b a b a b": trigrams [a b a, b a b, a b a, b a b] -> dup 2/4;
     # bigrams [a b]x3 + [b a]x2 -> top share 3/5.  Unique text -> dup
