@@ -40,6 +40,7 @@ HEADLINE = [
     "search_bm25",
     "tokenizer_automaton",
     "dedup_exact",
+    "dedup_incremental",
     "dedup_minhash",
     "ann_bruteforce",
     "quality_scores",
