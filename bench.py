@@ -47,6 +47,7 @@ HEADLINE = [
     "repetition_scores",
     "token_counts",
     "dataset_split",
+    "dataset_balance",
     "vocab_coverage",
     "length_histogram",
     "corpus_profile",

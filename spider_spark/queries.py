@@ -1016,6 +1016,62 @@ SQL_DATASET_SPLIT = f"""
 """
 
 
+def q_dataset_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture balancing: deterministic per-source downsampling to the
+    smallest source's size — the step that turns a skewed crawl mix
+    into a balanced training mix.  Each document's keep decision is a
+    pure per-row expression on a 32-bit content-hash fraction with the
+    per-source rate ``min_count / count``; the comparison is kept in
+    EXACT integer arithmetic (``hash * n_source < min_n * 2^32``) so
+    Spark and DuckDB decide identically for every row, and the same
+    document set survives any partitioning or re-run (unlike
+    ``df.sample``).
+
+    Scale shape: one small per-source count (broadcast back), then one
+    corpus pass computing the flag, then the per-source rollup —
+    map-side combinable throughout, no row-level shuffle beyond the
+    final group."""
+    d = _load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("_n"))
+    minn = counts.agg(F.min("_n").alias("_minn"))
+    h = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    flagged = (
+        d.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(minn))
+        .select(
+            "source", "_n", "n_chars",
+            (h * F.col("_n") < F.col("_minn") * F.lit(4294967296)
+             ).cast("long").alias("_keep"),
+            F.col("_minn"),
+        )
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_keep").cast("long").alias("n_kept"),
+        F.round(F.any_value("_minn").cast("double")
+                / F.any_value("_n").cast("double"), 6).alias("rate"),
+        F.sum(F.col("_keep") * F.col("n_chars")).cast("long")
+        .alias("kept_chars"),
+    )
+
+
+SQL_DATASET_BALANCE = """
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    m AS (SELECT MIN(n) AS minn FROM c),
+    f AS (
+      SELECT d.source, c.n, d.n_chars,
+             CASE WHEN CAST(concat('0x', substr(md5(d.text), 1, 8)) AS BIGINT)
+                       * c.n < m.minn * 4294967296 THEN 1 ELSE 0 END AS keep,
+             m.minn
+      FROM documents d JOIN c ON d.source = c.source CROSS JOIN m)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           ROUND(CAST(ANY_VALUE(minn) AS DOUBLE) / CAST(ANY_VALUE(n) AS DOUBLE), 6) AS rate,
+           CAST(SUM(keep * n_chars) AS BIGINT) AS kept_chars
+    FROM f GROUP BY source
+"""
+
+
 _VOCAB_K = 50
 
 
@@ -1524,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "token_counts": q_token_counts,
         "dataset_split": q_dataset_split,
+        "dataset_balance": q_dataset_balance,
         "vocab_coverage": q_vocab_coverage,
         "length_histogram": q_length_histogram,
         "quality_scores": q_quality_scores,
@@ -1570,6 +1627,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "token_counts": SQL_TOKEN_COUNTS,
         "dataset_split": SQL_DATASET_SPLIT,
+        "dataset_balance": SQL_DATASET_BALANCE,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "length_histogram": SQL_LENGTH_HISTOGRAM,
         "quality_scores": SQL_QUALITY_SCORES,

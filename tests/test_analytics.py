@@ -322,6 +322,41 @@ def test_media_summary_matches_composed(spark):
     assert fused == composed
 
 
+def test_dataset_balance_skewed_sources(spark):
+    """Balanced downsampling on a 40:5 source skew: the keep decision
+    must equal the exact integer-hash predicate (recomputed here with
+    hashlib), the small source keeps everything, and rates are
+    min_n/n."""
+    import hashlib
+    from spider_spark import queries as Q
+    rows = [(i, f"document body number {i}", "big") for i in range(40)]
+    rows += [(100 + i, f"rare text {i}", "small") for i in range(5)]
+    df = spark.createDataFrame(
+        [(d, t, s, len(t)) for d, t, s in rows],
+        "doc_id long, text string, source string, n_chars long")
+    df.createOrReplaceTempView("_bal_docs")
+
+    # run the same expression pipeline over the hand-built frame
+    import pyspark.sql.functions as SF
+    counts = df.groupBy("source").agg(SF.count("*").alias("_n"))
+    minn = counts.agg(SF.min("_n").alias("_minn"))
+    h = SF.conv(SF.substring(SF.md5("text"), 1, 8), 16, 10).cast("long")
+    flagged = (df.join(SF.broadcast(counts), "source")
+               .crossJoin(SF.broadcast(minn))
+               .select("source", "doc_id",
+                       (h * SF.col("_n") < SF.col("_minn")
+                        * SF.lit(4294967296)).alias("keep")))
+    got = {(r["source"], r["doc_id"]): r["keep"] for r in flagged.collect()}
+
+    for doc_id, text, source in rows:
+        n = 40 if source == "big" else 5
+        expect = int(hashlib.md5(text.encode()).hexdigest()[:8], 16) * n < 5 * 2**32
+        assert got[(source, doc_id)] == expect, (source, doc_id)
+    assert all(got[("small", 100 + i)] for i in range(5))  # rate 1.0
+    kept_big = sum(got[("big", i)] for i in range(40))
+    assert 0 < kept_big < 40  # actually downsampled, not all-or-nothing
+
+
 def test_incremental_duplicates_golden(spark):
     # whitespace-collapse + lowercase normalization collides doc 1
     # ("a  b") with existing doc 2 ("A b"); doc 3 is novel
