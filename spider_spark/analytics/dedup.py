@@ -226,12 +226,20 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
 
 def incremental_duplicates(incoming: DataFrame, existing: DataFrame,
                            text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           prefix_chars: int | None = None) -> DataFrame:
     """Incremental exact dedup: incoming-batch documents whose
     normalized-content hash already exists in the accepted corpus —
     the drop-list a production pipeline computes per ingest batch
     (dedup against everything kept so far, NOT a one-shot groupBy of
     the whole corpus).
+
+    ``prefix_chars``: hash only the first N characters of the
+    normalized text (CCNet/C4-style prefix fingerprint) instead of the
+    whole document.  Prefix fingerprints catch boilerplate-prefixed
+    near-copies that whole-text hashing misses and cut the bytes
+    hashed per 100 MB document to a constant; ``None`` keeps the
+    strict whole-text key.
 
     Scale shape: one left-semi hash join of the incoming batch against
     the existing corpus's DISTINCT hash set, keyed on the hash — the
@@ -242,6 +250,8 @@ def incremental_duplicates(incoming: DataFrame, existing: DataFrame,
     expression produces, so the join reads hashes, never text.
     """
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    if prefix_chars is not None:
+        norm = F.substring(norm, 1, prefix_chars)
     inc = incoming.select(F.col(id_col).alias("doc_id"),
                           F.md5(norm).alias("content_hash"))
     seen = existing.select(F.md5(norm).alias("content_hash")).distinct()

@@ -769,22 +769,28 @@ SQL_DEDUP_COMPONENTS = """
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-batch incremental dedup: treat even doc_ids as the accepted
     corpus and odd doc_ids as the incoming batch; return incoming docs
-    whose normalized-content hash already exists in the corpus (the
-    batch's drop-list).  One left-semi hash join against the corpus's
-    distinct hash projection — the production shape (dedup each ingest
-    batch against everything kept so far), vs dedup_exact's one-shot
-    whole-corpus groupBy."""
+    whose normalized-content fingerprint already exists in the corpus
+    (the batch's drop-list).  One left-semi hash join against the
+    corpus's distinct hash projection — the production shape (dedup
+    each ingest batch against everything kept so far), vs dedup_exact's
+    one-shot whole-corpus groupBy.  The key is a CCNet/C4-style
+    120-char normalized-prefix fingerprint (constant hash cost per
+    document, catches boilerplate-prefixed copies) — and the prefix key
+    is non-vacuous at the test SFs, where whole-text exact duplicates
+    don't occur."""
     d = _load(spark, sf_dir, "documents")
     return dedup.incremental_duplicates(
         d.filter(F.col("doc_id") % 2 == 1),
         d.filter(F.col("doc_id") % 2 == 0),
+        prefix_chars=120,
     )
 
 
 SQL_DEDUP_INCREMENTAL = r"""
     WITH h AS (
       SELECT doc_id,
-             md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash
+             md5(substr(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 120))
+               AS content_hash
       FROM documents)
     SELECT i.doc_id, i.content_hash
     FROM h i

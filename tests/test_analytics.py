@@ -370,6 +370,22 @@ def test_incremental_duplicates_golden(spark):
     assert out[0]["content_hash"] == hashlib.md5(b"a b").hexdigest()
 
 
+def test_incremental_duplicates_prefix_fingerprint(spark):
+    # prefix_chars=3 keys on the first 3 normalized chars: "abcdef" vs
+    # "ABC xyz" share the "abc" prefix and collide; whole-text mode
+    # (default) does not flag them.
+    docs = spark.createDataFrame(
+        [(1, "abcdef"), (3, "zzz")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(2, "ABCxyz")], "doc_id long, text string")
+    strict = dedup.incremental_duplicates(docs, corpus).collect()
+    assert strict == []
+    out = dedup.incremental_duplicates(docs, corpus, prefix_chars=3).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    import hashlib
+    assert out[0]["content_hash"] == hashlib.md5(b"abc").hexdigest()
+
+
 def test_repetition_features_goldens(spark):
     # "a b a b a b": trigrams [a b a, b a b, a b a, b a b] -> dup 2/4;
     # bigrams [a b]x3 + [b a]x2 -> top share 3/5.  Unique text -> dup
