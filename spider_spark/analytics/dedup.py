@@ -209,10 +209,18 @@ def minhash_near_duplicates(
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     prefix_chars: int | None = None) -> DataFrame:
     """Exact dedup groups: normalized-text hash → group, keep groups of
-    size > 1.  Returns (content_hash, dup_count, doc_ids sorted)."""
+    size > 1.  Returns (content_hash, dup_count, doc_ids sorted).
+
+    ``prefix_chars``: key on the first N normalized characters
+    (CCNet/C4-style prefix fingerprint) instead of the whole text —
+    constant hash cost per document, catches boilerplate-prefixed
+    copies.  ``None`` (default) keys on the full normalized text."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    if prefix_chars is not None:
+        norm = F.substring(norm, 1, prefix_chars)
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("content_hash"))
         .groupBy("content_hash")

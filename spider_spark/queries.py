@@ -676,6 +676,29 @@ SQL_DEDUP_EXACT = """
 """
 
 
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint dedup groups: key on the first 120 normalized
+    characters (CCNet/C4-style) instead of the whole text.  Same
+    one-shuffle hash groupBy as dedup_exact, but the key is constant
+    cost per document and catches boilerplate-prefixed copies — and is
+    non-vacuous at the test SFs where whole-text duplicates don't
+    occur."""
+    d = _load(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d, prefix_chars=120).select(
+        "content_hash", "dup_count", F.to_json("doc_ids").alias("doc_ids_json")
+    )
+
+
+SQL_DEDUP_PREFIX = """
+    SELECT md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 120))
+             AS content_hash,
+           CAST(COUNT(*) AS BIGINT) AS dup_count,
+           '[' || array_to_string(list_sort(list(doc_id)), ',') || ']' AS doc_ids_json
+    FROM documents
+    GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (rows-only: k-permutation signatures
     are not ANSI-SQL; exactness is covered by test_analytics golden
@@ -1573,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_automaton": q_tokenizer_automaton,
         "tokenizer_ascii_jvm": q_tokenizer_ascii_jvm,
         "dedup_exact": q_dedup_exact,
+        "dedup_prefix": q_dedup_prefix,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1622,6 +1646,7 @@ def oracle_sql() -> dict[str, str]:
         # tokenizer_automaton: rows-only (CJK automaton not ANSI SQL)
         "tokenizer_ascii_jvm": SQL_TOKENIZER_ASCII_JVM,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_prefix": SQL_DEDUP_PREFIX,
         # dedup_minhash / dedup_simhash: rows-only (probabilistic signatures)
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_components": SQL_DEDUP_COMPONENTS,

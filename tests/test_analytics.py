@@ -29,6 +29,14 @@ def test_exact_duplicates(docs):
     assert out[0]["doc_ids"] == [1, 2]
 
 
+def test_exact_duplicates_prefix_fingerprint(docs):
+    # a 20-char prefix key also groups doc 3 (same first words as 1/2,
+    # different tail) with them; the whole-text key above does not
+    out = dedup.exact_duplicates(docs, prefix_chars=20).collect()
+    grouped = {tuple(r["doc_ids"]): r["dup_count"] for r in out}
+    assert grouped == {(1, 2, 3): 3}
+
+
 def test_minhash_near_duplicates(docs):
     pairs = {
         (r["doc_id"], r["doc_id2"]): r["est_jaccard"]
