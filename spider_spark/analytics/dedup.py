@@ -395,6 +395,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    train: DataFrame,
+    heldout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-n-gram with a held-out evaluation set (the GPT-3 appendix-C /
+    Gopher overlap rule; production pipelines use n≈8-13).  Returns
+    (doc_id, n_contaminated) — contaminated docs only, with the count
+    of distinct held-out n-grams each contains.
+
+    Scale shape: the held-out side is tiny (an eval benchmark), so its
+    distinct-gram projection broadcasts; the train side explodes grams
+    once and hash-joins — no shuffle of the corpus text, and the gram
+    explode prunes every column but (id, gram).  Docs shorter than n
+    words emit no grams (never a partial gram)."""
+    def grams_of(df: DataFrame) -> DataFrame:
+        words = F.split(F.lower(F.col(text_col)), r"\s+")
+        grams = F.when(
+            F.size(words) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(F.col(id_col).alias("doc_id"),
+                         F.explode(grams).alias("gram"))
+
+    held_grams = grams_of(heldout).select("gram").distinct()
+    return (
+        grams_of(train)
+        .join(F.broadcast(held_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame | None = None,

@@ -699,6 +699,38 @@ SQL_DEDUP_PREFIX = """
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word-n-gram with a
+    deterministic held-out slice (doc_id % 97 == 0 plays the eval
+    benchmark).  n=4 here — the synthetic corpus's ~40-word vocabulary
+    makes real-pipeline n (8-13) vacuously collision-free at test SFs;
+    the operator takes n as a parameter."""
+    d = _load(spark, sf_dir, "documents")
+    return dedup.ngram_contamination(
+        d.filter(F.col("doc_id") % 97 != 0),
+        d.filter(F.col("doc_id") % 97 == 0),
+        n=4,
+    )
+
+
+SQL_DECONTAMINATE = r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS words
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(words) - 3, 0)),
+               i -> array_to_string(words[i:i+3], ' '))) AS grams
+      FROM w),
+    e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+    t AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 != 0)
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+    FROM t JOIN e USING (gram)
+    GROUP BY t.doc_id
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (rows-only: k-permutation signatures
     are not ANSI-SQL; exactness is covered by test_analytics golden
@@ -1597,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_ascii_jvm": q_tokenizer_ascii_jvm,
         "dedup_exact": q_dedup_exact,
         "dedup_prefix": q_dedup_prefix,
+        "decontaminate": q_decontaminate,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1647,6 +1680,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_ascii_jvm": SQL_TOKENIZER_ASCII_JVM,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_prefix": SQL_DEDUP_PREFIX,
+        "decontaminate": SQL_DECONTAMINATE,
         # dedup_minhash / dedup_simhash: rows-only (probabilistic signatures)
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_components": SQL_DEDUP_COMPONENTS,

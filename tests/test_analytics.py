@@ -394,6 +394,24 @@ def test_incremental_duplicates_prefix_fingerprint(spark):
     assert out[0]["content_hash"] == hashlib.md5(b"abc").hexdigest()
 
 
+def test_ngram_contamination_golden(spark):
+    # doc 1 contains the held-out doc's "a b c" trigram once (distinct
+    # grams per doc: repeats inside a doc count once); doc 2 contains
+    # two distinct held-out trigrams; doc 3 shares nothing; doc 4 is
+    # shorter than n and must emit no grams (never a partial gram)
+    train = spark.createDataFrame(
+        [(1, "x a b c y a b c"), (2, "a b c d"), (3, "q r s t"), (4, "a b")],
+        "doc_id long, text string")
+    heldout = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id long, text string")
+    out = dedup.ngram_contamination(train, heldout, n=3)
+    got = {r["doc_id"]: r["n_contaminated"] for r in out.collect()}
+    assert got == {1: 1, 2: 2}
+    # eval side must broadcast: the corpus never shuffles on the gram
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_repetition_features_goldens(spark):
     # "a b a b a b": trigrams [a b a, b a b, a b a, b a b] -> dup 2/4;
     # bigrams [a b]x3 + [b a]x2 -> top share 3/5.  Unique text -> dup
