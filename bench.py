@@ -40,8 +40,10 @@ HEADLINE = [
     "search_bm25",
     "tokenizer_automaton",
     "dedup_exact",
+    "dedup_prefix",
     "dedup_incremental",
     "dedup_minhash",
+    "decontaminate",
     "ann_bruteforce",
     "quality_scores",
     "repetition_scores",
