@@ -46,6 +46,7 @@ HEADLINE = [
     "decontaminate",
     "ann_bruteforce",
     "quality_scores",
+    "unigram_xent",
     "repetition_scores",
     "token_counts",
     "dataset_split",

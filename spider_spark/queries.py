@@ -1206,6 +1206,50 @@ SQL_LENGTH_HISTOGRAM = f"""
 """
 
 
+def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram cross-entropy (nats) under the corpus's own
+    unigram distribution — the SQL-expressible analog of CCNet's LM
+    perplexity filter: documents of improbable words score high and get
+    filtered or down-weighted.  nll = ln(total) - avg(ln(occ(term))).
+
+    Scale shape: one map-side-combinable term groupBy builds the
+    frequency table, which broadcasts (a web-scale vocabulary is
+    10⁶-10⁸ rows — still a broadcast dimension next to the corpus;
+    drop the hint and AQE shuffle-joins if it outgrows the threshold);
+    then one per-doc hash agg.  The corpus text is scanned once and
+    never shuffled.  Rounded to 4 decimals: the two engines sum the
+    per-token logs in different orders, and 4 decimals leaves ~10⁹×
+    headroom over double-precision drift (6 would leave ~10³×)."""
+    toks = _tokens(spark, sf_dir)
+    counts = toks.groupBy("term").agg(F.count("*").cast("double").alias("occ"))
+    total = counts.agg(F.sum("occ").alias("tot"))
+    return (
+        toks.join(F.broadcast(counts), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.avg(F.log("occ")).alias("_avg_log_occ"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.log("tot") - F.col("_avg_log_occ"), 4).alias("unigram_nll"),
+        )
+    )
+
+
+SQL_UNIGRAM_XENT = f"""
+    WITH t AS ({_TOKENS_SQL}),
+    c AS (SELECT term, COUNT(*) AS occ FROM t GROUP BY term),
+    tot AS (SELECT CAST(SUM(occ) AS DOUBLE) AS tot FROM c)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(ln(tot) - AVG(ln(CAST(occ AS DOUBLE))), 4) AS unigram_nll
+    FROM t JOIN c USING (term) CROSS JOIN tot
+    GROUP BY doc_id, tot
+"""
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return text.quality_score(d).select(
@@ -1647,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "length_histogram": q_length_histogram,
         "quality_scores": q_quality_scores,
+        "unigram_xent": q_unigram_xent,
         "repetition_scores": q_repetition_scores,
         "corpus_profile": q_corpus_profile,
         "lang_id": q_lang_id,
@@ -1696,6 +1741,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "length_histogram": SQL_LENGTH_HISTOGRAM,
         "quality_scores": SQL_QUALITY_SCORES,
+        "unigram_xent": SQL_UNIGRAM_XENT,
         "repetition_scores": SQL_REPETITION_SCORES,
         "corpus_profile": SQL_CORPUS_PROFILE,
         "lang_id": SQL_LANG_ID,
