@@ -412,6 +412,34 @@ def test_ngram_contamination_golden(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ngram_contamination_matches_bruteforce(spark):
+    # one seeded random corpus over a tiny vocab (forcing collisions),
+    # checked against a pure-Python gram-set reference — one Spark
+    # round-trip, many docs
+    import random
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(6)]
+    def doc(k):
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+    train_rows = [(i, doc(i)) for i in range(40)]
+    held_rows = [(100 + i, doc(i)) for i in range(4)]
+    n = 3
+    def grams(text):
+        w = text.lower().split()
+        return {tuple(w[i:i + n]) for i in range(len(w) - n + 1)}
+    held_grams = set().union(*(grams(t) for _, t in held_rows)) if held_rows else set()
+    expect = {}
+    for i, t in train_rows:
+        hits = len(grams(t) & held_grams)
+        if hits:
+            expect[i] = hits
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    held = spark.createDataFrame(held_rows, "doc_id long, text string")
+    out = dedup.ngram_contamination(train, held, n=n)
+    got = {r["doc_id"]: r["n_contaminated"] for r in out.collect()}
+    assert got == expect and expect  # non-vacuous by construction
+
+
 def test_repetition_features_goldens(spark):
     # "a b a b a b": trigrams [a b a, b a b, a b a, b a b] -> dup 2/4;
     # bigrams [a b]x3 + [b a]x2 -> top share 3/5.  Unique text -> dup
