@@ -572,6 +572,24 @@ def test_round5_text_query_plan_shapes(spark, sf_dir):
         assert "n_chars#" not in plan
 
 
+def test_round5_dedup_query_plan_shapes(spark, sf_dir):
+    """100-TB plan pins for the round-5 dedup/quality queries: all
+    JVM-side (no Python/Arrow eval nodes), documents scan pruned to
+    (doc_id, text), and the small side broadcast where the design says
+    so (held-out grams in decontaminate, the vocabulary frequency
+    table in unigram_xent)."""
+    from spider_spark import queries as Q
+    for fn in (Q.q_dedup_prefix, Q.q_dedup_incremental,
+               Q.q_decontaminate, Q.q_unigram_xent):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "ArrowEval" not in plan, fn.__name__
+        assert "lang#" not in plan and "source#" not in plan, fn.__name__
+        assert "n_chars#" not in plan, fn.__name__
+    for fn in (Q.q_decontaminate, Q.q_unigram_xent):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, fn.__name__
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     """Measured recall@k pin for IVF on the real embeddings table:
     ground truth = exact brute force; recall must clear a floor at
