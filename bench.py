@@ -59,6 +59,7 @@ HEADLINE = [
     "top_customers",
     "mime_gate",
     "media_features",
+    "media_ref_dedup",
 ]
 
 CRAWL_ROUNDS = int(os.environ.get("SPIDER_BENCH_ROUNDS", "4"))

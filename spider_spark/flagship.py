@@ -31,8 +31,11 @@ from .engine import CrawlEngine
 from .state.store import SnapshotStore
 
 
-def derive_corpus(spark: SparkSession, sf_dir: str, out_path: str) -> None:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def interleaved_view(d: DataFrame) -> DataFrame:
+    """The interleaved text+media corpus (BASELINE.json input_hint
+    shape) as a DataFrame expression over a documents table — shared
+    by derive_corpus (which materializes it for the engine) and the
+    span-level analytics queries (which consume it directly)."""
     url = F.concat(F.lit("http://"), F.col("source"), F.lit(".example/d/"),
                    F.col("doc_id"))
     w = Window.partitionBy("source").orderBy("doc_id")
@@ -56,7 +59,7 @@ def derive_corpus(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     # out-degree 3 (next, next+3, next+9 of the same host) so the
     # frontier grows geometrically until the corpus is exhausted —
     # without it a crawl bench only ever measures seed-chain latency
-    out = d.select(
+    return d.select(
         url.alias("doc_id"),
         F.array(
             span("title", F.concat(F.lit("Doc "), F.col("doc_id")), None, 0),
@@ -66,7 +69,11 @@ def derive_corpus(spark: SparkSession, sf_dir: str, out_path: str) -> None:
             span("media", None, lead_url(9), 4),
         ).alias("spans"),
     )
-    out.write.mode("overwrite").parquet(out_path)
+
+
+def derive_corpus(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    interleaved_view(d).write.mode("overwrite").parquet(out_path)
 
 
 def seed_urls(spark: SparkSession, sf_dir: str, n_hosts: int = 5,

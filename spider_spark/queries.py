@@ -1453,6 +1453,49 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", text.fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
+def q_media_ref_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset-level dedup over the interleaved text+media corpus (the
+    BASELINE.json input_hint shape): media_refs referenced by more than
+    one document, with the referencing-doc count — the fetch/store-once
+    table a multimodal pipeline builds before downloading assets.
+
+    Scale shape: explode only the media spans (kind filter before the
+    explode output widens), then ONE distinct-count hash agg keyed on
+    media_ref; the span text column is pruned from the scan.  The
+    oracle reproduces the interleaved derivation (lead/arg_min windows)
+    in SQL, so the span-shape contract itself is hash-checked."""
+    from . import flagship
+    d = _load(spark, sf_dir, "documents")
+    spans = flagship.interleaved_view(d).select(
+        "doc_id", F.explode("spans").alias("s"))
+    refs = spans.filter(F.col("s.kind") == "media").select(
+        F.col("s.media_ref").alias("media_ref"), "doc_id")
+    return (
+        refs.groupBy("media_ref")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_MEDIA_REF_DEDUP = """
+    WITH u AS (
+      SELECT doc_id, source,
+             'http://' || source || '.example/d/' || doc_id AS url
+      FROM documents),
+    m AS (
+      SELECT url,
+             coalesce(lead(url, 1) OVER w, arg_min(url, doc_id) OVER w2) AS m1,
+             coalesce(lead(url, 3) OVER w, arg_min(url, doc_id) OVER w2) AS m2,
+             coalesce(lead(url, 9) OVER w, arg_min(url, doc_id) OVER w2) AS m3
+      FROM u
+      WINDOW w AS (PARTITION BY source ORDER BY doc_id),
+             w2 AS (PARTITION BY source)),
+    r AS (SELECT url AS doc_url, unnest([m1, m2, m3]) AS media_ref FROM m)
+    SELECT media_ref, CAST(COUNT(DISTINCT doc_url) AS BIGINT) AS n_docs
+    FROM r GROUP BY media_ref HAVING COUNT(DISTINCT doc_url) > 1
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + featurize over a deterministic synthetic
     media table (real BMP/WAV/VID0 codecs; rows-only — binary decode is
@@ -1697,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "media_features": q_media_features,
+        "media_ref_dedup": q_media_ref_dedup,
         "event_windows": q_event_windows,
         "event_sessions": q_event_sessions,
         "politeness_gate": q_politeness_gate,
@@ -1742,6 +1786,7 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram": SQL_LENGTH_HISTOGRAM,
         "quality_scores": SQL_QUALITY_SCORES,
         "unigram_xent": SQL_UNIGRAM_XENT,
+        "media_ref_dedup": SQL_MEDIA_REF_DEDUP,
         "repetition_scores": SQL_REPETITION_SCORES,
         "corpus_profile": SQL_CORPUS_PROFILE,
         "lang_id": SQL_LANG_ID,
