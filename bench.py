@@ -53,6 +53,7 @@ HEADLINE = [
     "dataset_balance",
     "vocab_coverage",
     "length_histogram",
+    "length_quantiles",
     "corpus_profile",
     "event_sessions",
     "pricing_summary",

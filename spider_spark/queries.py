@@ -1337,6 +1337,37 @@ SQL_REPETITION_SCORES = r"""
 """
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quantiles (p50/p90/p99 of n_chars) —
+    the length-filter tuning table next to length_histogram's fixed
+    bins.  Exact `percentile` here because it is oracle-checkable
+    (Spark and DuckDB interpolate identically on integer inputs,
+    verified bit-equal); the 100-TB variant swaps in
+    `approx_percentile(n_chars, array(...), 10000)` — a t-digest-style
+    mergeable sketch whose state is O(accuracy), not O(group), with
+    everything else unchanged.  One map-side-combinable hash agg over a
+    (source, n_chars) pruned scan; group count = |sources|."""
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source").agg(
+            F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+
+
+SQL_LENGTH_QUANTILES = """
+    SELECT source,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+           ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
+           ROUND(quantile_cont(n_chars, 0.99), 6) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+"""
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) corpus profile — the ingest-report aggregate
     a training pipeline runs after every crawl batch: document count,
@@ -1733,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_balance": q_dataset_balance,
         "vocab_coverage": q_vocab_coverage,
         "length_histogram": q_length_histogram,
+        "length_quantiles": q_length_quantiles,
         "quality_scores": q_quality_scores,
         "unigram_xent": q_unigram_xent,
         "repetition_scores": q_repetition_scores,
@@ -1784,6 +1816,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_balance": SQL_DATASET_BALANCE,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "length_histogram": SQL_LENGTH_HISTOGRAM,
+        "length_quantiles": SQL_LENGTH_QUANTILES,
         "quality_scores": SQL_QUALITY_SCORES,
         "unigram_xent": SQL_UNIGRAM_XENT,
         "media_ref_dedup": SQL_MEDIA_REF_DEDUP,
