@@ -5,8 +5,10 @@ state the recorded 35.4s/94.0-u/s figure ran in), then run ONE
 
 Usage: python scripts/fast_window_bench.py [out_path] [threshold]
              [poll_seconds] [max_hours]
-Exits 0 after a bench run (or when max_hours elapses without one);
-every probe reading is appended to <out_path>.probes as JSON lines.
+Exits 0 after a successful bench run (or when max_hours elapses
+without one); a failed or stalled bench is recorded as a
+bench_exit_code line in <out_path> and the watch continues.  Every
+probe reading is appended to <out_path>.probes as JSON lines.
 """
 
 import json
@@ -46,10 +48,17 @@ def main() -> None:
             with open(out_path, "w") as f:
                 f.write(json.dumps({"trigger_probe": p}) + "\n")
                 f.flush()
-                subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                               stdout=f, stderr=subprocess.STDOUT,
-                               timeout=1800)
-            return
+                try:
+                    r = subprocess.run(
+                        [sys.executable, os.path.join(REPO, "bench.py")],
+                        stdout=f, stderr=subprocess.STDOUT, timeout=1800)
+                    rc = r.returncode
+                except subprocess.TimeoutExpired:
+                    rc = -1
+                f.write(json.dumps({"bench_exit_code": rc}) + "\n")
+            if rc == 0:
+                return
+            # failed/stalled bench: keep watching for another window
         time.sleep(poll_s)
 
 

@@ -210,24 +210,41 @@ def minhash_near_duplicates(
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
-                     prefix_chars: int | None = None) -> DataFrame:
+                     prefix_chars: int | None = None,
+                     with_ids: bool = True) -> DataFrame:
     """Exact dedup groups: normalized-text hash → group, keep groups of
-    size > 1.  Returns (content_hash, dup_count, doc_ids sorted).
+    size > 1.  Returns (content_hash, dup_count, doc_ids sorted) — or,
+    with ``with_ids=False``, (content_hash, dup_count, min_doc,
+    max_doc) whose aggregation state is constant-size per key.
 
     ``prefix_chars``: key on the first N normalized characters
     (CCNet/C4-style prefix fingerprint) instead of the whole text —
     constant hash cost per document, catches boilerplate-prefixed
-    copies.  ``None`` (default) keys on the full normalized text."""
+    copies.  ``None`` (default) keys on the full normalized text.
+
+    Skew note: prefix keys make huge groups LIKELY (a common 120-char
+    boilerplate prefix maps millions of docs to one hash), and
+    ``collect_list`` materializes each group's ids in one task — so at
+    scale pass ``with_ids=False`` for prefix mode; the id-list variant
+    is for whole-text mode, where duplicate groups stay small."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     if prefix_chars is not None:
         norm = F.substring(norm, 1, prefix_chars)
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("content_hash"))
-        .groupBy("content_hash")
-        .agg(
+    keyed = docs.select(F.col(id_col).alias("doc_id"),
+                        F.md5(norm).alias("content_hash"))
+    if with_ids:
+        aggs = [
             F.count("*").cast("long").alias("dup_count"),
             F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
-        )
+        ]
+    else:
+        aggs = [
+            F.count("*").cast("long").alias("dup_count"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        ]
+    return (
+        keyed.groupBy("content_hash").agg(*aggs)
         .filter(F.col("dup_count") > 1)
     )
 

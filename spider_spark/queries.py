@@ -682,18 +682,20 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-shuffle hash groupBy as dedup_exact, but the key is constant
     cost per document and catches boilerplate-prefixed copies — and is
     non-vacuous at the test SFs where whole-text duplicates don't
-    occur."""
+    occur.  Emits bounded aggregates (count/min/max), not the group's
+    id list: prefix keys make huge groups likely (shared boilerplate),
+    and a collect_list on the hot key would be an unbounded single-task
+    array at scale — agg state here is constant-size per key and fully
+    map-side combinable."""
     d = _load(spark, sf_dir, "documents")
-    return dedup.exact_duplicates(d, prefix_chars=120).select(
-        "content_hash", "dup_count", F.to_json("doc_ids").alias("doc_ids_json")
-    )
+    return dedup.exact_duplicates(d, prefix_chars=120, with_ids=False)
 
 
 SQL_DEDUP_PREFIX = """
     SELECT md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 120))
              AS content_hash,
            CAST(COUNT(*) AS BIGINT) AS dup_count,
-           '[' || array_to_string(list_sort(list(doc_id)), ',') || ']' AS doc_ids_json
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
     FROM documents
     GROUP BY 1 HAVING COUNT(*) > 1
 """
@@ -1216,8 +1218,12 @@ def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency table, which broadcasts (a web-scale vocabulary is
     10⁶-10⁸ rows — still a broadcast dimension next to the corpus;
     drop the hint and AQE shuffle-joins if it outgrows the threshold);
-    then one per-doc hash agg.  The corpus text is scanned once and
-    never shuffled.  Rounded to 4 decimals: the two engines sum the
+    then one per-doc hash agg.  The corpus text is tokenized TWICE —
+    once for the frequency pass, once as the probe side of the join —
+    and never shuffled; at 100 TB the frequency pass reads the
+    materialized term-count table the pipeline already maintains (the
+    same table vocab_coverage builds), collapsing this to one corpus
+    scan.  Rounded to 4 decimals: the two engines sum the
     per-token logs in different orders, and 4 decimals leaves ~10⁹×
     headroom over double-precision drift (6 would leave ~10³×)."""
     toks = _tokens(spark, sf_dir)
