@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_minhash",
     "decontaminate",
+    "dedup_substring",
     "ann_bruteforce",
     "quality_scores",
     "unigram_xent",

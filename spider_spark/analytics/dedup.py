@@ -412,6 +412,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def _hashed_word_grams(df: DataFrame, text_col: str, id_col: str,
+                       n: int) -> DataFrame:
+    """(doc_id, gram) rows: xxhash64 of each n-word slice of the
+    lowercased whitespace split, distinct per doc; docs shorter than n
+    words emit nothing (never a partial gram).  8-byte keys, no string
+    materialization — see ngram_contamination for the collision
+    arithmetic."""
+    w = df.select(F.col(id_col).alias("doc_id"),
+                  F.split(F.lower(F.col(text_col)), r"\s+").alias("_w"))
+    grams = F.when(
+        F.size("_w") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - n + 1),
+                lambda i: F.xxhash64(F.slice("_w", i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return w.select("doc_id", F.explode(grams).alias("gram"))
+
+
+def substring_duplicate_pairs(
+    docs: DataFrame,
+    n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int | None = 256,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """ExactSubstr-style duplicate detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    document pairs sharing at least one verbatim n-word run, with the
+    count of distinct shared runs — catches long copied passages that
+    whole-document Jaccard (MinHash) dilutes away on long documents.
+    The paper's suffix-array span dedup is approximated by its own
+    practical reduction: a hit on ANY n-gram of a window-length run is
+    equivalent to a hit on the run.
+
+    Scale shape: explode hashed n-grams once, cap the per-gram bucket
+    (same non-silent `_cap_bucket_size` machinery as MinHash LSH — a
+    boilerplate n-gram shared by millions of docs would otherwise
+    self-join quadratically), self-join the capped (gram, doc) table
+    on the 8-byte gram key, then one pair groupBy.  Candidate volume
+    is Σ bucket² ≤ cap·|grams|, linear in the corpus."""
+    grams = _hashed_word_grams(docs, text_col, id_col, n)
+    capped = _cap_bucket_size(grams, ["gram"], bucket_cap, stats_out)
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id"),
+                 F.col("b.doc_id").alias("doc_id2"))
+        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     heldout: DataFrame,
@@ -435,23 +491,10 @@ def ngram_contamination(
     at a ~k²/2⁶⁵ false-positive probability that is negligible next to
     the overlap rule's own heuristic slack (~0.03 expected colliding
     pairs even at 10¹² distinct grams)."""
-    def grams_of(df: DataFrame) -> DataFrame:
-        w = df.select(F.col(id_col).alias("doc_id"),
-                      F.split(F.lower(F.col(text_col)), r"\s+").alias("_w"))
-        grams = F.when(
-            F.size("_w") >= n,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_w") - n + 1),
-                    lambda i: F.xxhash64(F.slice("_w", i, n)),
-                )
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
-        return w.select("doc_id", F.explode(grams).alias("gram"))
-
-    held_grams = grams_of(heldout).select("gram").distinct()
+    held_grams = (_hashed_word_grams(heldout, text_col, id_col, n)
+                  .select("gram").distinct())
     return (
-        grams_of(train)
+        _hashed_word_grams(train, text_col, id_col, n)
         .join(F.broadcast(held_grams), "gram")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_contaminated"))

@@ -733,6 +733,33 @@ SQL_DECONTAMINATE = r"""
 """
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate pairs: docs sharing a verbatim n-word
+    run, with the distinct-shared-run count.  n=4 here (the paper uses
+    ~50-token windows; the synthetic corpus's tiny vocabulary makes
+    long verbatim runs vacuously absent at test SFs); bucket_cap is
+    sized so the cap provably never binds at oracle scale."""
+    d = _load(spark, sf_dir, "documents")
+    return dedup.substring_duplicate_pairs(d, n=4, bucket_cap=100_000)
+
+
+SQL_DEDUP_SUBSTRING = r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS words
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(words) - 3, 0)),
+               i -> array_to_string(words[i:i+3], ' ')))) AS gram
+      FROM w)
+    SELECT a.doc_id AS doc_id, b.doc_id AS doc_id2,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (rows-only: k-permutation signatures
     are not ANSI-SQL; exactness is covered by test_analytics golden
@@ -1754,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_prefix": q_dedup_prefix,
         "decontaminate": q_decontaminate,
+        "dedup_substring": q_dedup_substring,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1808,6 +1836,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_prefix": SQL_DEDUP_PREFIX,
         "decontaminate": SQL_DECONTAMINATE,
+        "dedup_substring": SQL_DEDUP_SUBSTRING,
         # dedup_minhash / dedup_simhash: rows-only (probabilistic signatures)
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_components": SQL_DEDUP_COMPONENTS,

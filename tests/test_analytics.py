@@ -394,6 +394,22 @@ def test_incremental_duplicates_prefix_fingerprint(spark):
     assert out[0]["content_hash"] == hashlib.md5(b"abc").hexdigest()
 
 
+def test_substring_duplicate_pairs_golden(spark):
+    # docs 1 and 2 share the verbatim 4-word run "lorem ipsum dolor
+    # sit" (one distinct shared 4-gram); doc 3 shares nothing long
+    # enough; docs 1 and 4 share two distinct overlapping runs
+    docs = spark.createDataFrame(
+        [(1, "lorem ipsum dolor sit amet x"),
+         (2, "prefix lorem ipsum dolor sit"),
+         (3, "lorem ipsum dolor"),
+         (4, "lorem ipsum dolor sit amet")],
+        "doc_id long, text string")
+    out = dedup.substring_duplicate_pairs(docs, n=4)
+    got = {(r["doc_id"], r["doc_id2"]): r["n_shared_grams"]
+           for r in out.collect()}
+    assert got == {(1, 2): 1, (1, 4): 2, (2, 4): 1}
+
+
 def test_ngram_contamination_golden(spark):
     # doc 1 contains the held-out doc's "a b c" trigram once (distinct
     # grams per doc: repeats inside a doc count once); doc 2 contains
