@@ -450,14 +450,59 @@ def substring_duplicate_pairs(
     practical reduction: a hit on ANY n-gram of a window-length run is
     equivalent to a hit on the run.
 
-    Scale shape: explode hashed n-grams once, cap the per-gram bucket
-    (same non-silent `_cap_bucket_size` machinery as MinHash LSH — a
-    boilerplate n-gram shared by millions of docs would otherwise
-    self-join quadratically), self-join the capped (gram, doc) table
-    on the 8-byte gram key, then one pair groupBy.  Candidate volume
-    is Σ bucket² ≤ cap·|grams|, linear in the corpus."""
+    Scale shape: explode hashed n-grams, DROP over-cap gram buckets
+    wholesale (an n-gram shared by more than bucket_cap docs is
+    boilerplate, and its bucket would self-join quadratically; the
+    paper handles ubiquitous spans the same way — count, don't pair),
+    then self-join the surviving (gram, doc) table on the 8-byte gram
+    key and run one pair groupBy.  Candidate volume is Σ bucket² ≤
+    cap·|grams|, linear in the corpus.  The size filter is a groupBy +
+    equi-join, NOT the row_number window `_cap_bucket_size` uses:
+    bucket sizes need no ordering, so the count pre-aggregates
+    map-side where WindowExec must shuffle AND sort every gram row
+    (equal wall at bench scale, a real term at 10^10 gram rows); and
+    keep-first-cap semantics would pair an arbitrary subset of a
+    boilerplate bucket, where dropping it wholesale matches the
+    paper's treatment of ubiquitous spans.  The drop is never silent —
+    stats_out (when given) is filled with {buckets_over_cap,
+    rows_dropped}; otherwise the counts ride the caller's first action
+    as observe metrics and a warning fires if anything was dropped."""
     grams = _hashed_word_grams(docs, text_col, id_col, n)
-    capped = _cap_bucket_size(grams, ["gram"], bucket_cap, stats_out)
+    if bucket_cap is not None:
+        sizes = grams.groupBy("gram").agg(F.count("*").alias("_bsz"))
+        over_expr = F.sum(
+            F.when(F.col("_bsz") > bucket_cap, 1).otherwise(0)
+        ).alias("buckets_over_cap")
+        dropped_expr = F.sum(
+            F.when(F.col("_bsz") > bucket_cap, F.col("_bsz")).otherwise(0)
+        ).alias("rows_dropped")
+        if stats_out is not None:
+            row = sizes.agg(dropped_expr, over_expr).first()
+            stats_out["rows_dropped"] = row["rows_dropped"] or 0
+            stats_out["buckets_over_cap"] = row["buckets_over_cap"] or 0
+        else:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            sizes = sizes.observe(obs, dropped_expr, over_expr)
+
+            def _warn_when_materialized():
+                m = obs.get  # blocks until the caller's first action
+                if m["rows_dropped"]:
+                    import warnings
+                    warnings.warn(
+                        f"substring bucket_cap={bucket_cap}: dropped "
+                        f"{m['rows_dropped']} gram rows in "
+                        f"{m['buckets_over_cap']} boilerplate buckets "
+                        "(their pairs are not reported; pass "
+                        "stats_out= to collect the counts)")
+
+            import threading
+            threading.Thread(target=_warn_when_materialized,
+                             daemon=True).start()
+        grams = grams.join(
+            sizes.filter(F.col("_bsz") <= bucket_cap).select("gram"), "gram")
+    capped = grams
     a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(b, (F.col("a.gram") == F.col("b.gram"))

@@ -410,6 +410,22 @@ def test_substring_duplicate_pairs_golden(spark):
     assert got == {(1, 2): 1, (1, 4): 2, (2, 4): 1}
 
 
+def test_substring_pairs_cap_drops_boilerplate_bucket(spark):
+    # "a b c" appears in 3 docs; cap=2 drops that bucket WHOLESALE
+    # (no pair survives from it), reports exact stats, and leaves the
+    # under-cap "x y z" pair intact
+    docs = spark.createDataFrame(
+        [(1, "a b c p"), (2, "a b c q"), (3, "a b c r"),
+         (4, "x y z w"), (5, "x y z v")],
+        "doc_id long, text string")
+    stats = {}
+    out = dedup.substring_duplicate_pairs(
+        docs, n=3, bucket_cap=2, stats_out=stats)
+    got = {(r["doc_id"], r["doc_id2"]) for r in out.collect()}
+    assert got == {(4, 5)}
+    assert stats == {"buckets_over_cap": 1, "rows_dropped": 3}
+
+
 def test_ngram_contamination_golden(spark):
     # doc 1 contains the held-out doc's "a b c" trigram once (distinct
     # grams per doc: repeats inside a doc count once); doc 2 contains
