@@ -62,6 +62,8 @@ HEADLINE = [
     "mime_gate",
     "media_features",
     "media_ref_dedup",
+    "pagerank",
+    "crawl_depth",
 ]
 
 CRAWL_ROUNDS = int(os.environ.get("SPIDER_BENCH_ROUNDS", "4"))

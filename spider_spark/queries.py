@@ -1560,6 +1560,125 @@ SQL_MEDIA_REF_DEDUP = """
 """
 
 
+def _media_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link graph of the interleaved corpus: (src, dst) per media span.
+    Same derivation as q_media_ref_dedup; the span text column is
+    pruned from the scan before the explode."""
+    from . import flagship
+    d = _load(spark, sf_dir, "documents")
+    spans = flagship.interleaved_view(d).select(
+        "doc_id", F.explode("spans").alias("s"))
+    return spans.filter(F.col("s.kind") == "media").select(
+        F.col("doc_id").alias("src"), F.col("s.media_ref").alias("dst"))
+
+
+# edges CTE shared by the two graph oracles: reproduces the
+# interleaved-span link derivation (lead/arg_min windows) in SQL
+_EDGES_SQL = """
+    u AS (
+      SELECT doc_id, source,
+             'http://' || source || '.example/d/' || doc_id AS url
+      FROM documents),
+    m AS (
+      SELECT url,
+             coalesce(lead(url, 1) OVER w, arg_min(url, doc_id) OVER w2) AS m1,
+             coalesce(lead(url, 3) OVER w, arg_min(url, doc_id) OVER w2) AS m2,
+             coalesce(lead(url, 9) OVER w, arg_min(url, doc_id) OVER w2) AS m3
+      FROM u
+      WINDOW w AS (PARTITION BY source ORDER BY doc_id),
+             w2 AS (PARTITION BY source)),
+    e AS (SELECT url AS src, unnest([m1, m2, m3]) AS dst FROM m)
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the interleaved corpus's media-link graph — the
+    frontier-prioritization signal the reference never computes
+    (Spider.java:653-657 queues foundURI targets FIFO; a web-scale
+    crawler ranks them).  5 damped power iterations via iterative
+    join+groupBy (analytics/graph.py); ranks normalized to mean 1.
+
+    The oracle unrolls the same 5 iterations as chained CTEs over the
+    identical lead-window edge derivation, so the iterative Spark loop
+    is value-checked end-to-end (no dangling nodes in this graph: every
+    doc emits exactly 3 media spans)."""
+    from .analytics import graph
+    edges = _media_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # every doc is an edge source exactly once, so |nodes| is the
+    # documents row count — a parquet-footer read, no distinct job
+    n = _load(spark, sf_dir, "documents").count()
+    ranks = graph.pagerank(edges, nodes, iterations=5, damping=0.85,
+                           n_nodes=n, assume_no_dangling=True)
+    return ranks.select(
+        F.col("node").alias("url"),
+        F.round(F.col("rank") * F.lit(float(n)), 6).alias("pr"))
+
+
+_PR_ITER_SQL = """
+    r{K} AS (
+      SELECT u.url AS node,
+             0.15 / (SELECT COUNT(*) FROM u)
+             + 0.85 * coalesce(s.in_rank, 0.0) AS rank
+      FROM u LEFT JOIN (
+        SELECT e.dst, SUM(r{P}.rank / 3) AS in_rank
+        FROM e JOIN r{P} ON e.src = r{P}.node
+        GROUP BY e.dst) s
+      ON u.url = s.dst)
+"""
+
+SQL_PAGERANK = (
+    "WITH " + _EDGES_SQL + """,
+    r0 AS (SELECT url AS node,
+                  1.0 / (SELECT COUNT(*) FROM u) AS rank FROM u),
+    """
+    + ",\n".join(_PR_ITER_SQL.format(K=k, P=k - 1) for k in range(1, 6))
+    + """
+    SELECT node AS url,
+           ROUND(rank * (SELECT COUNT(*) FROM u), 6) AS pr
+    FROM r5
+""")
+
+
+def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from each host's chain head over the media-link
+    graph — the crawl-depth audit ("which pages are reachable within K
+    rounds of the seeds") behind the flagship crawl's geometric frontier
+    growth.  4 min-propagation rounds (exact BFS layers, integer output,
+    analytics/graph.py); the oracle unrolls the same rounds as CTEs."""
+    from .analytics import graph
+    d = _load(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://"), F.col("source"), F.lit(".example/d/"),
+                   F.col("doc_id"))
+    seeds = d.groupBy("source").agg(
+        F.min_by(url, F.col("doc_id")).alias("node")).select("node")
+    depths = graph.bfs_depths(_media_edges(spark, sf_dir), seeds,
+                              max_depth=4)
+    return depths.select(F.col("node").alias("url"),
+                         F.col("depth").cast("int").alias("depth"))
+
+
+_BFS_ITER_SQL = """
+    r{K} AS (
+      SELECT node, MIN(depth) AS depth FROM (
+        SELECT node, depth FROM r{P}
+        UNION ALL
+        SELECT e.dst AS node, r{P}.depth + 1 AS depth
+        FROM e JOIN r{P} ON e.src = r{P}.node)
+      GROUP BY node)
+"""
+
+SQL_CRAWL_DEPTH = (
+    "WITH " + _EDGES_SQL + """,
+    r0 AS (SELECT arg_min(url, doc_id) AS node, 0 AS depth
+           FROM u GROUP BY source),
+    """
+    + ",\n".join(_BFS_ITER_SQL.format(K=k, P=k - 1) for k in range(1, 5))
+    + """
+    SELECT node AS url, CAST(depth AS INT) AS depth FROM r4
+""")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + featurize over a deterministic synthetic
     media table (real BMP/WAV/VID0 codecs; rows-only — binary decode is
@@ -1807,6 +1926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "media_features": q_media_features,
         "media_ref_dedup": q_media_ref_dedup,
+        "pagerank": q_pagerank,
+        "crawl_depth": q_crawl_depth,
         "event_windows": q_event_windows,
         "event_sessions": q_event_sessions,
         "politeness_gate": q_politeness_gate,
@@ -1855,6 +1976,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": SQL_QUALITY_SCORES,
         "unigram_xent": SQL_UNIGRAM_XENT,
         "media_ref_dedup": SQL_MEDIA_REF_DEDUP,
+        "pagerank": SQL_PAGERANK,
+        "crawl_depth": SQL_CRAWL_DEPTH,
         "repetition_scores": SQL_REPETITION_SCORES,
         "corpus_profile": SQL_CORPUS_PROFILE,
         "lang_id": SQL_LANG_ID,

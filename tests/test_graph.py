@@ -1,0 +1,97 @@
+"""Link-graph analytics (analytics/graph.py): PageRank against a tiny
+numpy reference loop (incl. dangling-mass redistribution and isolated
+nodes), BFS depths against hand-computed layers."""
+
+import numpy as np
+import pytest
+
+from spider_spark.analytics import graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def _ref_pagerank(n, edges, iterations=5, damping=0.85):
+    """Dense reference: edges as (src_idx, dst_idx) pairs, parallel
+    edges counted, dangling mass spread uniformly."""
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        nxt = np.full(n, (1.0 - damping) / n)
+        dangling = r[out_deg == 0].sum()
+        nxt += damping * dangling / n
+        for s, d in edges:
+            nxt[d] += damping * r[s] / out_deg[s]
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_reference_with_dangling(spark):
+    # a->b, a->c, b->c; c dangling; d isolated (only via nodes frame)
+    names = ["a", "b", "c", "d"]
+    idx_edges = [(0, 1), (0, 2), (1, 2)]
+    e = _edges(spark, [(names[s], names[d]) for s, d in idx_edges])
+    nodes = spark.createDataFrame([(x,) for x in names], ["node"])
+    got = {r["node"]: r["rank"]
+           for r in graph.pagerank(e, nodes, iterations=5).collect()}
+    want = _ref_pagerank(4, idx_edges, iterations=5)
+    assert set(got) == set(names)
+    for i, nm in enumerate(names):
+        assert got[nm] == pytest.approx(want[i], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_parallel_edges_weight_double(spark):
+    # a emits two parallel edges to b and one to c: b receives 2/3 of
+    # a's damped mass, c 1/3
+    e = _edges(spark, [("a", "b"), ("a", "b"), ("a", "c"),
+                       ("b", "a"), ("c", "a")])
+    got = {r["node"]: r["rank"]
+           for r in graph.pagerank(e, iterations=1).collect()}
+    third = 1.0 / 3
+    assert got["b"] == pytest.approx(0.05 + 0.85 * third * 2 / 3, abs=1e-12)
+    assert got["c"] == pytest.approx(0.05 + 0.85 * third * 1 / 3, abs=1e-12)
+
+
+def test_pagerank_ranks_sum_to_one(spark):
+    # ring + chord graph, no dangling
+    pairs = [(f"n{i}", f"n{(i + 1) % 7}") for i in range(7)]
+    pairs += [(f"n{i}", f"n{(i + 3) % 7}") for i in range(7)]
+    got = graph.pagerank(_edges(spark, pairs), iterations=8).collect()
+    assert sum(r["rank"] for r in got) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_no_dangling_fastpath_identical(spark):
+    # ring graph (no dangling): skipping the dangling branch must give
+    # bit-identical ranks
+    pairs = [(f"n{i}", f"n{(i + 1) % 5}") for i in range(5)]
+    pairs += [(f"n{i}", f"n{(i + 2) % 5}") for i in range(5)]
+    e = _edges(spark, pairs)
+    full = {r["node"]: r["rank"]
+            for r in graph.pagerank(e, iterations=4).collect()}
+    fast = {r["node"]: r["rank"]
+            for r in graph.pagerank(e, iterations=4,
+                                    assume_no_dangling=True).collect()}
+    assert full == fast
+
+
+def test_bfs_depths_layers_and_min_over_paths(spark):
+    # chain a->b->c->d plus shortcut a->c: c is depth 1, not 2;
+    # d at depth 2; e unreachable
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+                       ("e", "e")])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["depth"]
+           for r in graph.bfs_depths(e, seeds, max_depth=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_depth_cap_excludes_deeper_nodes(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["depth"]
+           for r in graph.bfs_depths(e, seeds, max_depth=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
