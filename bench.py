@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_substring",
     "ann_bruteforce",
     "quality_scores",
+    "filter_decisions",
     "unigram_xent",
     "repetition_scores",
     "token_counts",

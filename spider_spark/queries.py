@@ -1370,6 +1370,99 @@ SQL_REPETITION_SCORES = r"""
 """
 
 
+def q_filter_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline capstone the individual quality queries feed: a
+    C4/Gopher-style per-document keep/drop gate composing length,
+    stopword-density, punctuation and repetition signals, with the
+    firing rule names recorded (public C4 / Gopher filtering
+    literature; the reference has no corpus-filter stage — this is the
+    training-pipeline extension the index feeds).
+
+    Every signal is a single exact-integer division, so threshold
+    comparisons are bit-identical to the oracle.  Scale shape: the
+    length/stopword/punct features are zero-shuffle per-row
+    expressions; repetition adds the one (doc, bigram) hash-agg
+    repetition_scores already pays; one doc_id join fuses them."""
+    d = _load(spark, sf_dir, "documents")
+    q = text.quality_score(d).select(
+        "doc_id", "n_words", "punct_ratio", "stopword_ratio")
+    r = text.repetition_features(d).select(
+        "doc_id", "dup_trigram_frac", "top_bigram_share")
+    j = q.join(r, "doc_id", "left").select(
+        "doc_id", "n_words", "punct_ratio", "stopword_ratio",
+        F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup3"),
+        F.coalesce("top_bigram_share", F.lit(0.0)).alias("top2"),
+    )
+    rules = F.array(
+        F.when(F.col("n_words") < 25, F.lit("too_short")),
+        F.when(F.col("stopword_ratio") < 0.01, F.lit("low_stopword")),
+        F.when(F.col("punct_ratio") > 0.02, F.lit("high_punct")),
+        F.when((F.col("dup3") > 0.01) | (F.col("top2") > 0.125),
+               F.lit("repetitive")),
+    )
+    fired = F.filter(rules, lambda x: x.isNotNull())
+    return j.select(
+        "doc_id",
+        (F.size(fired) == 0).alias("keep"),
+        F.concat_ws(",", fired).alias("reasons"),
+    )
+
+
+SQL_FILTER_DECISIONS = r"""
+    WITH feats AS (
+      SELECT doc_id,
+        length(text) AS n_chars,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_words,
+        len(regexp_extract_all(text, '[.,;:!?"''()\[\]{}]')) AS n_punct,
+        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            w -> w IN ('the','and','that','have','for'))) AS n_stop,
+        string_split_regex(lower(trim(text)), '\s+') AS words
+      FROM documents),
+    rep AS (
+      SELECT doc_id,
+        CASE WHEN len(words) >= 3 THEN
+          CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+            / CAST(len(tg) AS DOUBLE) ELSE 0.0 END AS dup3
+      FROM (SELECT doc_id, words,
+              list_transform(generate_series(1, len(words) - 2),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS tg
+            FROM feats)),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(
+          generate_series(1, len(words) - 1),
+          i -> words[i] || ' ' || words[i+1])) AS bigram
+      FROM feats WHERE len(words) >= 3),
+    bgc AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
+    share AS (
+      SELECT doc_id,
+        CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top2
+      FROM bgc GROUP BY doc_id),
+    sig AS (
+      SELECT f.doc_id, f.n_words,
+        CAST(f.n_punct AS DOUBLE) / greatest(f.n_chars, 1) AS punct_ratio,
+        CAST(f.n_stop AS DOUBLE) / greatest(f.n_words, 1) AS stopword_ratio,
+        coalesce(r.dup3, 0.0) AS dup3,
+        coalesce(s.top2, 0.0) AS top2
+      FROM feats f
+      LEFT JOIN rep r ON f.doc_id = r.doc_id
+      LEFT JOIN share s ON f.doc_id = s.doc_id),
+    fired AS (
+      SELECT doc_id,
+        list_filter([
+          CASE WHEN n_words < 25 THEN 'too_short' END,
+          CASE WHEN stopword_ratio < 0.01 THEN 'low_stopword' END,
+          CASE WHEN punct_ratio > 0.02 THEN 'high_punct' END,
+          CASE WHEN dup3 > 0.01 OR top2 > 0.125 THEN 'repetitive' END
+        ], x -> x IS NOT NULL) AS rules
+      FROM sig)
+    SELECT doc_id, len(rules) = 0 AS keep,
+           coalesce(array_to_string(rules, ','), '') AS reasons
+    FROM fired
+"""
+
+
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length quantiles (p50/p90/p99 of n_chars) —
     the length-filter tuning table next to length_histogram's fixed
@@ -1919,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q_length_histogram,
         "length_quantiles": q_length_quantiles,
         "quality_scores": q_quality_scores,
+        "filter_decisions": q_filter_decisions,
         "unigram_xent": q_unigram_xent,
         "repetition_scores": q_repetition_scores,
         "corpus_profile": q_corpus_profile,
@@ -1974,6 +2068,7 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram": SQL_LENGTH_HISTOGRAM,
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "quality_scores": SQL_QUALITY_SCORES,
+        "filter_decisions": SQL_FILTER_DECISIONS,
         "unigram_xent": SQL_UNIGRAM_XENT,
         "media_ref_dedup": SQL_MEDIA_REF_DEDUP,
         "pagerank": SQL_PAGERANK,

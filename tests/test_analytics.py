@@ -622,6 +622,41 @@ def test_round5_dedup_query_plan_shapes(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, fn.__name__
 
 
+def test_filter_decisions_plan_and_composition(spark, sf_dir):
+    """filter_decisions must stay JVM-side with a (doc_id, text)-pruned
+    scan, and its keep decision must equal composing the standalone
+    quality/repetition queries with the same thresholds."""
+    from spider_spark import queries as Q
+    df = Q.q_filter_decisions(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "lang#" not in plan and "source#" not in plan
+
+    got = {r["doc_id"]: (r["keep"], r["reasons"]) for r in df.collect()}
+    q = {r["doc_id"]: r for r in
+         Q.q_quality_scores(spark, sf_dir).collect()}
+    rep = {r["doc_id"]: r for r in
+           Q.q_repetition_scores(spark, sf_dir).collect()}
+    assert set(got) == set(q)
+    for doc_id, (keep, reasons) in got.items():
+        expect = []
+        if q[doc_id]["n_words"] < 25:
+            expect.append("too_short")
+        if q[doc_id]["stopword_ratio"] < 0.01:
+            expect.append("low_stopword")
+        if q[doc_id]["punct_ratio"] > 0.02:
+            expect.append("high_punct")
+        r = rep.get(doc_id)
+        if r and (r["dup_trigram_frac"] > 0.01
+                  or r["top_bigram_share"] > 0.125):
+            expect.append("repetitive")
+        assert keep == (not expect), doc_id
+        assert reasons == ",".join(expect), doc_id
+    # both outcomes must occur (thresholds are live, not vacuous)
+    keeps = {k for k, (kp, _) in got.items() if kp}
+    assert keeps and len(keeps) < len(got)
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     """Measured recall@k pin for IVF on the real embeddings table:
     ground truth = exact brute force; recall must clear a floor at
