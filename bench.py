@@ -31,6 +31,7 @@ from spider_spark.session import get_spark
 HEADLINE = [
     "topk_per_host",
     "seen_antijoin",
+    "robots_filter",
     "term_doc_stats",
     "tf_relevance",
     "doc_tfidf",

@@ -157,6 +157,46 @@ SQL_BADLIST_FILTER = f"""
 """
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots gate (graft axis B; the engine's per-host disallow-prefix
+    filter, admission.py:90-102) driven through the PRODUCTION operator
+    `filter_and_canonicalize` — broadcast robots join + prefix `exists`
+    — over a robots table derived deterministically from the sources:
+    every host disallows /d/1; hosts with names longer than 4 chars
+    also disallow /d/2.  Returns the admissible URLs."""
+    from .operators.admission import filter_and_canonicalize
+    d = _load(spark, sf_dir, "documents")
+    cand = d.select(
+        F.concat(F.lit("http://"), F.col("source"), F.lit(".example/d/"),
+                 F.col("doc_id")).alias("raw_url"))
+    robots = d.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example")).alias("host"),
+        F.when(F.length("source") > 4,
+               F.array(F.lit("/d/1"), F.lit("/d/2")))
+        .otherwise(F.array(F.lit("/d/1"))).alias("disallow_prefixes"),
+    )
+    out = filter_and_canonicalize(cand, CrawlConfig(), robots)
+    return out.select("url", "host")
+
+
+SQL_ROBOTS_FILTER = """
+    WITH u AS (
+      SELECT source,
+             'http://' || source || '.example/d/' || doc_id AS url,
+             '/d/' || doc_id AS path,
+             source || '.example' AS host
+      FROM documents),
+    r AS (
+      SELECT source,
+             CASE WHEN length(source) > 4 THEN ['/d/1', '/d/2']
+                  ELSE ['/d/1'] END AS dis
+      FROM (SELECT DISTINCT source FROM documents))
+    SELECT u.url, u.host
+    FROM u JOIN r ON u.source = r.source
+    WHERE len(list_filter(r.dis, p -> starts_with(u.path, p))) = 0
+"""
+
+
 def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4: URL-seen dedup as exact anti-join (db/PerstRoot.java:46-67).
     Candidates = all urls; seen = even ids; result = unseen urls."""
@@ -1979,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_n_per_status": q_top_n_per_status,
         "badlist_filter": q_badlist_filter,
         "mime_gate": q_mime_gate,
+        "robots_filter": q_robots_filter,
         "seen_antijoin": q_seen_antijoin,
         "fifo_topk": q_fifo_topk,
         "topk_per_host": q_topk_per_host,
@@ -2037,6 +2078,7 @@ def oracle_sql() -> dict[str, str]:
         "top_n_per_status": SQL_TOP_N_PER_STATUS,
         "badlist_filter": SQL_BADLIST_FILTER,
         "mime_gate": SQL_MIME_GATE,
+        "robots_filter": SQL_ROBOTS_FILTER,
         "seen_antijoin": SQL_SEEN_ANTIJOIN,
         "fifo_topk": SQL_FIFO_TOPK,
         "topk_per_host": SQL_TOPK_PER_HOST,
