@@ -648,3 +648,59 @@ def connected_components(
         prev_sum = new_sum
     e.unpersist()
     return lab.select(F.col("node").alias(id_col), "component")
+
+
+def semdedup(
+    embeddings: DataFrame,
+    *,
+    tau: float = 0.3,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: within each cluster, drop every
+    vector that has a lower-id neighbor with cosine >= ``tau``, keeping
+    that minimum-id neighbor as the exemplar (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540 — public paper).
+
+    Returns the DROP list ``(id_col, dup_of, cosine)`` where ``dup_of``
+    is the smallest-id duplicate neighbor and ``cosine`` its similarity
+    (the deterministic exemplar rule: the paper keeps one arbitrary
+    point per duplicate group; min-id makes the choice reproducible and
+    SQL-checkable).
+
+    Scale shape: the pairwise pass is confined to cluster blocks — an
+    equi-join on ``cluster_col`` (pre-assigned by IVF/k-means upstream,
+    here the embedding table's cluster column), so candidate volume is
+    sum(|cluster|^2), not |corpus|^2.  Cosine is the JVM ``zip_with``
+    fold (similarity.cosine_expr) inside whole-stage codegen; the
+    keep/drop resolution is one map-side-combined groupBy on the
+    smaller drop-candidate set.  Skewed clusters shuffle-salt the same
+    way as dedup_minhash buckets; callers with a hot cluster should cap
+    or split it upstream (see _cap_bucket_size).
+    """
+    from .similarity import cosine_expr
+
+    left = embeddings.select(
+        F.col(cluster_col).alias("_cl"),
+        F.col(id_col).alias("_x"),
+        F.col(vec_col).alias("_vx"),
+    )
+    right = embeddings.select(
+        F.col(cluster_col).alias("_cl"),
+        F.col(id_col).alias("_y"),
+        F.col(vec_col).alias("_vy"),
+    )
+    pairs = (
+        left.join(right, "_cl")
+        .filter(F.col("_y") < F.col("_x"))
+        .withColumn("_cos", cosine_expr(F.col("_vx"), F.col("_vy")))
+        .filter(F.col("_cos") >= F.lit(float(tau)))
+    )
+    return pairs.groupBy("_x").agg(
+        F.min("_y").alias("dup_of"),
+        F.min_by("_cos", "_y").alias("cosine"),
+    ).select(
+        F.col("_x").alias(id_col), "dup_of", "cosine"
+    )

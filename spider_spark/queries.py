@@ -1080,6 +1080,31 @@ SQL_EMBEDDING_NEARDUP = """
 """
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup drop list (Abbas et al. 2023): within each embedding
+    cluster, drop every vector with a lower-id cosine>=0.3 neighbor,
+    reporting the min-id exemplar it duplicates.  The cluster-blocked
+    pairwise pass + deterministic keep/drop resolution live in
+    analytics/dedup.semdedup; tau=0.3 is the demo threshold for the
+    near-uniform synthetic embeddings (real corpora use ~0.9)."""
+    e = _load(spark, sf_dir, "embeddings")
+    out = dedup.semdedup(e, tau=0.3)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+SQL_SEMDEDUP = """
+    WITH p AS (
+      SELECT a.vec_id AS x, b.vec_id AS y,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND b.vec_id < a.vec_id)
+    SELECT x AS vec_id, MIN(y) AS dup_of,
+           ROUND(CAST(arg_min(cos, y) AS DOUBLE), 6) AS cosine
+    FROM p WHERE cos >= 0.3 GROUP BY x
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-pipeline: text analysis
 
@@ -1812,6 +1837,31 @@ SQL_CRAWL_DEPTH = (
 """)
 
 
+def q_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-link degree distribution of the media-link graph — the
+    power-law/skew audit a web-scale frontier runs before picking its
+    partitioning (hot hosts = high-in-degree targets; this histogram is
+    what justifies salted windows in topk_per_host and AQE skew-join on
+    the seen-set probe).  Two map-side-combined hash aggregations:
+    per-target in-degree, then the (in_degree -> n_urls) histogram —
+    no window, no sort until the final tiny result."""
+    edges = _media_edges(spark, sf_dir)
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("in_degree"))
+    return (
+        indeg.groupBy("in_degree")
+        .agg(F.count("*").alias("n_urls"))
+        .orderBy("in_degree")
+    )
+
+
+SQL_LINK_DEGREES = (
+    "WITH " + _EDGES_SQL + """,
+    d AS (SELECT dst, COUNT(*) AS in_degree FROM e GROUP BY dst)
+    SELECT in_degree, COUNT(*) AS n_urls
+    FROM d GROUP BY in_degree ORDER BY in_degree
+""")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + featurize over a deterministic synthetic
     media table (real BMP/WAV/VID0 codecs; rows-only — binary decode is
@@ -2046,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "semdedup": q_semdedup,
         "token_counts": q_token_counts,
         "dataset_split": q_dataset_split,
         "dataset_balance": q_dataset_balance,
@@ -2063,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ref_dedup": q_media_ref_dedup,
         "pagerank": q_pagerank,
         "crawl_depth": q_crawl_depth,
+        "link_degrees": q_link_degrees,
         "event_windows": q_event_windows,
         "event_sessions": q_event_sessions,
         "politeness_gate": q_politeness_gate,
@@ -2103,6 +2155,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": SQL_ANN_BRUTEFORCE,
         # ann_lsh / ann_ivf: rows-only (approximate by design)
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+        "semdedup": SQL_SEMDEDUP,
         "token_counts": SQL_TOKEN_COUNTS,
         "dataset_split": SQL_DATASET_SPLIT,
         "dataset_balance": SQL_DATASET_BALANCE,
@@ -2115,6 +2168,7 @@ def oracle_sql() -> dict[str, str]:
         "media_ref_dedup": SQL_MEDIA_REF_DEDUP,
         "pagerank": SQL_PAGERANK,
         "crawl_depth": SQL_CRAWL_DEPTH,
+        "link_degrees": SQL_LINK_DEGREES,
         "repetition_scores": SQL_REPETITION_SCORES,
         "corpus_profile": SQL_CORPUS_PROFILE,
         "lang_id": SQL_LANG_ID,

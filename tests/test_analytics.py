@@ -705,3 +705,48 @@ def test_resize_images_operator(spark):
         h, w, c, px = multimodal.decode_bmp(bytes(r.payload))
         assert (h, w, px.shape) == (8, 8, (8, 8, 3))
         assert (r.height, r.width) == (8, 8)
+
+
+def test_semdedup_exemplar_resolution(spark):
+    """SemDeDup keep/drop semantics on a crafted frame: identical
+    vectors in one cluster collapse to the min-id exemplar, the same
+    vector in a DIFFERENT cluster is untouched (pairwise pass is
+    cluster-blocked), and a below-tau vector survives."""
+    from spider_spark.analytics import dedup as D
+    rows = [
+        # cluster 0: three identical vectors -> 20 and 30 both dup_of 10
+        (10, [1.0, 0.0, 0.0], 0),
+        (20, [1.0, 0.0, 0.0], 0),
+        (30, [2.0, 0.0, 0.0], 0),   # same direction, scaled: cos = 1
+        # cluster 0: orthogonal vector survives
+        (40, [0.0, 1.0, 0.0], 0),
+        # cluster 1: identical to 10 but different cluster -> kept
+        (50, [1.0, 0.0, 0.0], 1),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in D.semdedup(e, tau=0.9).collect()}
+    assert set(out) == {20, 30}
+    assert out[20]["dup_of"] == 10 and out[30]["dup_of"] == 10
+    assert abs(out[20]["cosine"] - 1.0) < 1e-9
+    # plan stays JVM-side: zip_with fold, no Python/Arrow eval
+    plan = (D.semdedup(e, tau=0.9)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_link_degrees_histogram(spark, sf_dir):
+    """link_degrees: total histogram mass equals 3 edges per doc, and
+    the plan is two JVM hash aggregates over the span-derived edge list
+    (the interleaved view synthesizes spans from text at test scale, so
+    the scan reads text here; a stored spans column nested-prunes to
+    media_ref alone in production)."""
+    from spider_spark import queries as Q
+    df = Q.q_link_degrees(spark, sf_dir)
+    rows = df.collect()
+    import pyarrow.parquet as pq
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    assert sum(r["n_urls"] * r["in_degree"] for r in rows) == 3 * n_docs
+    assert all(r["in_degree"] >= 1 for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × two aggs
