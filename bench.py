@@ -66,6 +66,8 @@ HEADLINE = [
     "media_ref_dedup",
     "pagerank",
     "crawl_depth",
+    "link_degrees",
+    "semdedup",
 ]
 
 CRAWL_ROUNDS = int(os.environ.get("SPIDER_BENCH_ROUNDS", "4"))
