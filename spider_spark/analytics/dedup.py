@@ -43,6 +43,36 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
 
+def _fill_cap_stats(stats_out: dict, row) -> None:
+    """Copy the two drop metrics out of an agg/observe row."""
+    stats_out["rows_dropped"] = row["rows_dropped"] or 0
+    stats_out["buckets_over_cap"] = row["buckets_over_cap"] or 0
+
+
+def _warn_cap_async(obs, msg: str) -> None:
+    """Fire ``msg`` as a warning once the caller's first action
+    materializes the observed frame and anything was dropped.  The
+    counts a self-joined plan observes can be a small integer multiple
+    of the truth (the observed subtree may run once per join leg), so
+    messages should prefix them with "~" — presence of dropping is
+    exact, magnitude is not.  The watcher is a daemon thread parked on
+    ``obs.get``; a frame that is built but never executed leaves it
+    parked until process exit (daemon => never blocks shutdown)."""
+
+    def _warn_when_materialized():
+        m = obs.get  # blocks until the caller's first action
+        if m["rows_dropped"]:
+            import warnings
+
+            warnings.warn(
+                msg.format(rows=m["rows_dropped"],
+                           buckets=m["buckets_over_cap"]))
+
+    import threading
+
+    threading.Thread(target=_warn_when_materialized, daemon=True).start()
+
+
 def _cap_bucket_size(
     banded: DataFrame,
     key_cols: list[str],
@@ -75,32 +105,17 @@ def _cap_bucket_size(
         F.when(F.col("_rn") == bucket_cap + 1, 1).otherwise(0)
     ).alias("buckets_over_cap")
     if stats_out is not None:
-        row = ranked.agg(dropped_expr, over_expr).first()
-        stats_out["rows_dropped"] = row["rows_dropped"] or 0
-        stats_out["buckets_over_cap"] = row["buckets_over_cap"] or 0
+        _fill_cap_stats(stats_out, ranked.agg(dropped_expr, over_expr).first())
     else:
         from pyspark.sql import Observation
 
         obs = Observation()
         ranked = ranked.observe(obs, dropped_expr, over_expr)
-
-        def _warn_when_materialized():
-            m = obs.get  # blocks until the caller's first action
-            if m["rows_dropped"]:
-                import warnings
-                # "~": when the capped result feeds a self-join the
-                # observed subtree may execute once per join leg, so
-                # the counts can be a small integer multiple of the
-                # true values — presence is exact, magnitude is not
-                warnings.warn(
-                    f"LSH bucket_cap={bucket_cap}: dropped "
-                    f"~{m['rows_dropped']} rows from "
-                    f"~{m['buckets_over_cap']} oversized buckets "
-                    "(near-dup recall may suffer; pass stats_out= to "
-                    "collect exact counts instead)")
-
-        import threading
-        threading.Thread(target=_warn_when_materialized, daemon=True).start()
+        _warn_cap_async(
+            obs,
+            f"LSH bucket_cap={bucket_cap}: dropped ~{{rows}} rows from "
+            "~{buckets} oversized buckets (near-dup recall may suffer; "
+            "pass stats_out= to collect exact counts instead)")
     return ranked.filter(F.col("_rn") <= bucket_cap).drop("_rn")
 
 _MERSENNE = (1 << 61) - 1
@@ -476,32 +491,29 @@ def substring_duplicate_pairs(
         dropped_expr = F.sum(
             F.when(F.col("_bsz") > bucket_cap, F.col("_bsz")).otherwise(0)
         ).alias("rows_dropped")
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        sizes = sizes.observe(obs, dropped_expr, over_expr)
         if stats_out is not None:
-            row = sizes.agg(dropped_expr, over_expr).first()
-            stats_out["rows_dropped"] = row["rows_dropped"] or 0
-            stats_out["buckets_over_cap"] = row["buckets_over_cap"] or 0
+            # single pass: materialize the keep-list (one job over the
+            # gram explode + groupBy, the dominant stage) and read the
+            # drop metrics that rode along it — NOT a separate agg
+            # action that would run the explode twice.  The
+            # checkpointed keep-list blocks are freed by the
+            # ContextCleaner when the returned frame is dropped.
+            keep = (sizes.filter(F.col("_bsz") <= bucket_cap)
+                    .select("gram").localCheckpoint())
+            _fill_cap_stats(stats_out, obs.get)
         else:
-            from pyspark.sql import Observation
-
-            obs = Observation()
-            sizes = sizes.observe(obs, dropped_expr, over_expr)
-
-            def _warn_when_materialized():
-                m = obs.get  # blocks until the caller's first action
-                if m["rows_dropped"]:
-                    import warnings
-                    warnings.warn(
-                        f"substring bucket_cap={bucket_cap}: dropped "
-                        f"{m['rows_dropped']} gram rows in "
-                        f"{m['buckets_over_cap']} boilerplate buckets "
-                        "(their pairs are not reported; pass "
-                        "stats_out= to collect the counts)")
-
-            import threading
-            threading.Thread(target=_warn_when_materialized,
-                             daemon=True).start()
-        grams = grams.join(
-            sizes.filter(F.col("_bsz") <= bucket_cap).select("gram"), "gram")
+            keep = sizes.filter(F.col("_bsz") <= bucket_cap).select("gram")
+            _warn_cap_async(
+                obs,
+                f"substring bucket_cap={bucket_cap}: dropped ~{{rows}} "
+                "gram rows in ~{buckets} boilerplate buckets (their "
+                "pairs are not reported; pass stats_out= to collect "
+                "the counts)")
+        grams = grams.join(keep, "gram")
     capped = grams
     a, b = capped.alias("a"), capped.alias("b")
     return (

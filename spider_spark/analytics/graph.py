@@ -74,13 +74,17 @@ def pagerank(
     if n_nodes is None:
         n_nodes = nodes.count()  # one job; the scalar parameterizes the plan
     if n_nodes == 0:
-        return nodes.select("node", F.lit(0.0).alias("rank"))
+        empty = nodes.select("node", F.lit(0.0).alias("rank"))
+        nodes.unpersist()
+        return empty
 
     # out-degree per source, joined once onto the edge list so each
     # iteration ships (src, dst, out_deg) without re-aggregating
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # cache fills during the first stage that computes it and is
+    # reused by all later iterations within the same action — no
+    # eager count() job needed to warm it
     ee = e.join(deg, "src").cache()
-    ee.count()  # materialize: every iteration reuses this build side
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = (1.0 - damping) / n_nodes
@@ -114,6 +118,13 @@ def pagerank(
             )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
+    # materialize the (one-row-per-node) result so the big cached
+    # build sides can be released here instead of leaking into the
+    # caller's session (blocks of the checkpointed frame are freed by
+    # the ContextCleaner when the caller drops the DataFrame)
+    ranks = ranks.localCheckpoint()
+    ee.unpersist()
+    nodes.unpersist()
     return ranks
 
 
@@ -142,4 +153,8 @@ def bfs_depths(edges: DataFrame, sources: DataFrame,
             depths.unionByName(step)
             .groupBy("node").agg(F.min("depth").cast("int").alias("depth"))
         )
+    # materialize the per-node result and release the cached edge list
+    # (see pagerank: the cache must not outlive the call)
+    depths = depths.localCheckpoint()
+    e.unpersist()
     return depths

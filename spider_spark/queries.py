@@ -1675,53 +1675,12 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", text.fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
-def q_media_ref_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asset-level dedup over the interleaved text+media corpus (the
-    BASELINE.json input_hint shape): media_refs referenced by more than
-    one document, with the referencing-doc count — the fetch/store-once
-    table a multimodal pipeline builds before downloading assets.
-
-    Scale shape: explode only the media spans (kind filter before the
-    explode output widens), then ONE distinct-count hash agg keyed on
-    media_ref; the span text column is pruned from the scan.  The
-    oracle reproduces the interleaved derivation (lead/arg_min windows)
-    in SQL, so the span-shape contract itself is hash-checked."""
-    from . import flagship
-    d = _load(spark, sf_dir, "documents")
-    spans = flagship.interleaved_view(d).select(
-        "doc_id", F.explode("spans").alias("s"))
-    refs = spans.filter(F.col("s.kind") == "media").select(
-        F.col("s.media_ref").alias("media_ref"), "doc_id")
-    return (
-        refs.groupBy("media_ref")
-        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
-        .filter(F.col("n_docs") > 1)
-    )
-
-
-SQL_MEDIA_REF_DEDUP = """
-    WITH u AS (
-      SELECT doc_id, source,
-             'http://' || source || '.example/d/' || doc_id AS url
-      FROM documents),
-    m AS (
-      SELECT url,
-             coalesce(lead(url, 1) OVER w, arg_min(url, doc_id) OVER w2) AS m1,
-             coalesce(lead(url, 3) OVER w, arg_min(url, doc_id) OVER w2) AS m2,
-             coalesce(lead(url, 9) OVER w, arg_min(url, doc_id) OVER w2) AS m3
-      FROM u
-      WINDOW w AS (PARTITION BY source ORDER BY doc_id),
-             w2 AS (PARTITION BY source)),
-    r AS (SELECT url AS doc_url, unnest([m1, m2, m3]) AS media_ref FROM m)
-    SELECT media_ref, CAST(COUNT(DISTINCT doc_url) AS BIGINT) AS n_docs
-    FROM r GROUP BY media_ref HAVING COUNT(DISTINCT doc_url) > 1
-"""
-
-
 def _media_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link graph of the interleaved corpus: (src, dst) per media span.
-    Same derivation as q_media_ref_dedup; the span text column is
-    pruned from the scan before the explode."""
+    """Link graph of the interleaved corpus: (src, dst) per media span
+    — the single derivation behind media_ref_dedup, pagerank,
+    crawl_depth, and link_degrees (one site to update if the
+    interleaved span shape changes).  The span text column is pruned
+    from the scan before the explode."""
     from . import flagship
     d = _load(spark, sf_dir, "documents")
     spans = flagship.interleaved_view(d).select(
@@ -1730,7 +1689,8 @@ def _media_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("src"), F.col("s.media_ref").alias("dst"))
 
 
-# edges CTE shared by the two graph oracles: reproduces the
+# edges CTE shared by every media-graph oracle (media_ref_dedup,
+# pagerank, crawl_depth, link_degrees): reproduces the
 # interleaved-span link derivation (lead/arg_min windows) in SQL
 _EDGES_SQL = """
     u AS (
@@ -1747,6 +1707,32 @@ _EDGES_SQL = """
              w2 AS (PARTITION BY source)),
     e AS (SELECT url AS src, unnest([m1, m2, m3]) AS dst FROM m)
 """
+
+
+def q_media_ref_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset-level dedup over the interleaved text+media corpus (the
+    BASELINE.json input_hint shape): media_refs referenced by more than
+    one document, with the referencing-doc count — the fetch/store-once
+    table a multimodal pipeline builds before downloading assets.
+
+    Scale shape: explode only the media spans (kind filter before the
+    explode output widens — _media_edges), then ONE distinct-count hash
+    agg keyed on media_ref.  The oracle reproduces the interleaved
+    derivation (the shared _EDGES_SQL lead/arg_min windows) in SQL, so
+    the span-shape contract itself is hash-checked."""
+    edges = _media_edges(spark, sf_dir)
+    return (
+        edges.groupBy(F.col("dst").alias("media_ref"))
+        .agg(F.countDistinct("src").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_MEDIA_REF_DEDUP = (
+    "WITH " + _EDGES_SQL + """
+    SELECT dst AS media_ref, CAST(COUNT(DISTINCT src) AS BIGINT) AS n_docs
+    FROM e GROUP BY dst HAVING COUNT(DISTINCT src) > 1
+""")
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
