@@ -30,14 +30,22 @@ from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
 def cosine_expr(a, b):
     """JVM-side cosine similarity between two array<float/double> cols
-    (zip_with dot product; stays in whole-stage codegen)."""
+    (zip_with dot product; stays in whole-stage codegen).
+
+    Inputs are cast to array<double> BEFORE the products so the whole
+    computation (product, sequential left fold, norms) runs in float64
+    — bit-identical to DuckDB's list_cosine_similarity over DOUBLE[],
+    which the oracle twins rely on (float32 products differ by ~1e-7
+    and can flip a value across the 1e-6 rounding boundary)."""
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
     dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + (x * x).cast("double")))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + (x * x).cast("double")))
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
     return dot / F.greatest(na * nb, F.lit(1e-12))
 
 
