@@ -750,3 +750,42 @@ def test_link_degrees_histogram(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final × two aggs
+
+
+def test_cosine_expr_float64_bit_parity(spark):
+    """cosine_expr must equal a float64 sequential-fold reference
+    BIT-exactly (not approximately): the oracle twins round to 6
+    decimals, and float32 products differ by ~1e-7 — enough to flip a
+    value across the rounding boundary (seen at sf0.1 before the
+    array<double> cast; 5/954 semdedup cosines mismatched)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from spider_spark.analytics.similarity import cosine_expr
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(64).astype(np.float32).tolist())
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    pairs = (df.alias("a").crossJoin(df.alias("b"))
+             .filter(F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"),
+                     cosine_expr(F.col("a.v"), F.col("b.v")).alias("cos")))
+    got = {(r["i"], r["j"]): r["cos"] for r in pairs.collect()}
+    vecs = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+
+    def ref(a, b):
+        # sequential left fold in float64, like the JVM aggregate and
+        # DuckDB's list_cosine_similarity over DOUBLE[]
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for x in b:
+            nb += x * x
+        return dot / max(np.sqrt(na) * np.sqrt(nb), 1e-12)
+
+    for (i, j), c in got.items():
+        assert c == ref(vecs[i], vecs[j]), (i, j)
