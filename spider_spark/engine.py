@@ -106,9 +106,11 @@ class CrawlEngine:
 
     @staticmethod
     def _bucket_expr(nb: int):
-        """Bucket id of a row's url — identical to pmod(url_hash, nb)
-        since url_hash := xxhash64(url) at admission."""
-        return F.pmod(F.xxhash64(F.col("url")), F.lit(nb)).cast("int")
+        """Bucket id of a row's url — THE bucket formula, delegated to
+        seenfilter.bucket_of so frontier bucketing and filter bucketing
+        can never desynchronize (a split formula drifting would admit
+        URLs twice)."""
+        return seenfilter.bucket_of(F.col("url"), nb)
 
     def _documents(self) -> DataFrame:
         if self._docs_df is None:
@@ -381,7 +383,14 @@ class CrawlEngine:
         nb = self._n_buckets()
         b = self._bucket_expr(nb)
         migrate = self.store.bucket_sub("frontier") != "_pstatus"
-        frontier = self.store.read(self.spark, "frontier")
+        # same dedup sourcing as run_round: on the bucketed layout the
+        # confirm join reads ONLY the buckets holding maybe-seen rows
+        # (an enqueue batch touches a handful of buckets; the full
+        # multi-TB frontier never enters the join at 10^10 scale)
+        frontier = self.store.read(self.spark, "frontier") if migrate else None
+        reader = (None if migrate else
+                  (lambda bks: self.store.read_buckets(
+                      self.spark, "frontier", bks)))
         fs = self._filters_state(cat, next_id)
         bloom_df = (self.store.read(self.spark, "bloom")
                     if fs["has_bloom"] else None)
@@ -405,6 +414,7 @@ class CrawlEngine:
             self.spark, cand, frontier, self.config, self.robots,
             rnd=rnd + 1, seq_start=0, next_id=next_id,
             bloom_df=bloom_df, n_buckets=nb, done_df=done_df,
+            frontier_for_buckets=reader,
             cleanup=cleanup, seq_partitions=1 if small_list else None,
             with_force=True,
         )
@@ -845,7 +855,10 @@ class CrawlEngine:
         moves them to a NOT_PUSHED row; replaying the round (the
         NOT_PUSHED→QUEUED recovery rule, LibraryBuffer.java:97-102)
         closes the window and the row disappears."""
-        counts = scheduling.status_counts(self.frontier())
+        fr = self.frontier()
+        if fr is None:  # fresh/empty store: empty counts, not a crash
+            return self.spark.createDataFrame([], "status string, n long")
+        counts = scheduling.status_counts(fr)
         pending = self.store.pending_round() if include_not_pushed else None
         if not pending:
             return counts
@@ -875,5 +888,11 @@ class CrawlEngine:
     def top_pages(self, n: int | None = None) -> DataFrame:
         """UI top-N per status in lastChange order, default
         max_shown_uris (web/MainPage.java:197-211, db/Config.java:41)."""
+        fr = self.frontier()
+        if fr is None:  # fresh/empty store: empty page, not a crash
+            return self.spark.createDataFrame(
+                [], "id long, url string, url_hash long, host string, "
+                    "status string, priority int, edition long, "
+                    "last_change long, title string, comment string")
         return scheduling.top_n_per_status(
-            self.frontier(), n or self.config.max_shown_uris)
+            fr, n or self.config.max_shown_uris)

@@ -76,7 +76,12 @@ def filter_and_canonicalize(
     """B1-B3 + robots: returns candidates with canonical ``url``, ``host``,
     ``edition`` columns added; inadmissible rows dropped."""
     low = F.lower(F.col("raw_url"))
-    out = candidates.filter(~low.rlike(badlist_extension_regex(config.badlisted_extensions)))
+    out = candidates
+    if config.badlisted_extensions:
+        # guard like the keywords below: an empty tuple must mean "no
+        # extension badlist", not the match-everything regex "()$"
+        out = out.filter(
+            ~low.rlike(badlist_extension_regex(config.badlisted_extensions)))
     if config.badlisted_keywords:
         import re as _re
         kw = "(" + "|".join(_re.escape(k.lower()) for k in config.badlisted_keywords) + ")"

@@ -86,10 +86,25 @@ class SnapshotStore:
             return json.load(f)
 
     def _swap_catalog(self, cat: dict[str, Any]) -> None:
-        tmp = self._catalog_path() + ".tmp"
+        self._atomic_write_json(self._catalog_path(), cat, indent=1)
+
+    def _atomic_write_json(self, path: str, obj: dict, indent=None) -> None:
+        """Crash-durable atomic JSON replace: fsync the temp file's DATA
+        before the rename and the DIRECTORY after it, so a power loss
+        can never persist the rename ahead of the contents (ext4/xfs
+        allow that ordering without the fsyncs) — the rename is the
+        atomic commit point and must land all-or-nothing."""
+        tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(cat, f, indent=1)
-        os.replace(tmp, self._catalog_path())  # the atomic commit point
+            json.dump(obj, f, indent=indent)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     @property
     def current_round(self) -> int:
@@ -313,10 +328,7 @@ class SnapshotStore:
             "dirs": [rel for _, rel, _, _ in jobs],
             "metrics": metrics or {},
         }
-        ptmp = os.path.join(self.root, PENDING + ".tmp")
-        with open(ptmp, "w") as f:
-            json.dump(pending, f)
-        os.replace(ptmp, os.path.join(self.root, PENDING))
+        self._atomic_write_json(os.path.join(self.root, PENDING), pending)
 
         entry = {
             "round": rnd,
