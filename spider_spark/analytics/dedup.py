@@ -669,6 +669,7 @@ def semdedup(
     cluster_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_salts: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: within each cluster, drop every
     vector that has a lower-id neighbor with cosine >= ``tau``, keeping
@@ -688,9 +689,13 @@ def semdedup(
     sum(|cluster|^2), not |corpus|^2.  Cosine is the JVM ``zip_with``
     fold (similarity.cosine_expr) inside whole-stage codegen; the
     keep/drop resolution is one map-side-combined groupBy on the
-    smaller drop-candidate set.  Skewed clusters shuffle-salt the same
-    way as dedup_minhash buckets; callers with a hot cluster should cap
-    or split it upstream (see _cap_bucket_size).
+    smaller drop-candidate set.  The join is SALTED (``n_salts``, like
+    topk_per_host's window): a cluster column has few distinct values
+    relative to cores — unsalted, at most |clusters| tasks compute the
+    cosine folds; salting the left side by hash(id) and exploding the
+    right side over the salt range spreads one hot cluster across
+    ``n_salts`` tasks with identical output (the salt only splits
+    rows, every (x, y) pair still meets exactly once).
     """
     from .similarity import cosine_expr
 
@@ -698,14 +703,16 @@ def semdedup(
         F.col(cluster_col).alias("_cl"),
         F.col(id_col).alias("_x"),
         F.col(vec_col).alias("_vx"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).alias("_salt"),
     )
     right = embeddings.select(
         F.col(cluster_col).alias("_cl"),
         F.col(id_col).alias("_y"),
         F.col(vec_col).alias("_vy"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt"),
     )
     pairs = (
-        left.join(right, "_cl")
+        left.join(right, ["_cl", "_salt"])
         .filter(F.col("_y") < F.col("_x"))
         .withColumn("_cos", cosine_expr(F.col("_vx"), F.col("_vy")))
         .filter(F.col("_cos") >= F.lit(float(tau)))
