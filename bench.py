@@ -83,13 +83,14 @@ CRAWL_SEEDS_PER_HOST = int(os.environ.get("SPIDER_BENCH_SEEDS_PER_HOST", "16"))
 
 # one canonical probe (bench + scaling harness); recorded in the output
 # JSON so every wall-clock number carries its host condition
-from spider_spark.hostprobe import steal_probe  # noqa: E402
+from spider_spark.hostprobe import alu_probe, steal_probe  # noqa: E402
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     steal_pre = steal_probe()
+    alu_pre = alu_probe()
     spark = get_spark(app_name="spider_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -144,6 +145,11 @@ def main() -> None:
         "crawl": crawl,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "host_steal_pct": {"pre": steal_pre, "post": steal_probe()},
+        # per-proc integer Mops: >=10 fast window, 8.5-10 bandwidth-
+        # ceiling band, ~6 r4-class slow clock (BENCH.md host-state
+        # forensics) — lets a reader place this run's walls on the
+        # recorded host-state curve without the external probe logs
+        "host_alu_mops": {"pre": alu_pre, "post": alu_probe()},
     }
     print(json.dumps(out))
 

@@ -76,6 +76,42 @@ def syscall_probe(npairs: int = 4) -> float:
         return -1.0
 
 
+def _alu_spin(cpu, seconds, out):
+    try:
+        import os
+        os.sched_setaffinity(0, {cpu})
+    except OSError:
+        pass
+    end = time.perf_counter() + seconds
+    x = 1
+    ops = 0
+    while time.perf_counter() < end:
+        for _ in range(100_000):
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        ops += 100_000
+    out.put(ops / seconds)
+
+
+def alu_probe(nproc: int = 4, seconds: float = 3.0) -> float:
+    """Per-process integer-ALU Mops over ``nproc`` pinned spinners —
+    the host clock-state classifier (scripts/cpu_control.py's N-side,
+    shortened).  Calibrated on this box: fast windows read >=10
+    Mops/proc (the recorded 62s driver bench), the 8.5-10 band is the
+    bandwidth-ceiling regime, and the r4-class slow-clock state reads
+    ~6 (crawl walls ~1.6x the fast-window figure at identical steal).
+    -1.0 if the probe cannot run."""
+    try:
+        q = mp.Queue()
+        ps = [mp.Process(target=_alu_spin, args=(c, seconds, q), daemon=True)
+              for c in range(nproc)]
+        [p.start() for p in ps]
+        rates = [q.get(timeout=seconds + 30) for _ in ps]
+        [p.join(timeout=5) for p in ps]
+        return round(sum(rates) / len(rates) / 1e6, 2)
+    except Exception:
+        return -1.0
+
+
 def steal_probe(nproc: int = 28) -> float:
     """%hypervisor steal during an 8s all-core spin; -1.0 if unknown."""
     def stat():
