@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_substring",
     "ann_bruteforce",
     "quality_scores",
+    "pii_scrub",
     "filter_decisions",
     "unigram_xent",
     "repetition_scores",

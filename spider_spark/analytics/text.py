@@ -144,6 +144,47 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     )
 
 
+# ---- PII detection / redaction (JVM-side) ----------------------------------
+
+# Patterns are deliberately restricted to syntax whose match semantics
+# are identical in Java regex (Spark) and RE2 (the DuckDB oracle):
+# character classes, bounded repetition, \b / \d — no lookaround, no
+# backreferences.  Same detector family as the public C4 / BigCode /
+# The-Pile scrubbing passes.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII detection + redaction: counts of emails /
+    IPv4s / phone-shaped numbers in ``text_col`` plus a ``redacted``
+    copy with each match replaced by its sentinel (``<EMAIL>``,
+    ``<IP>``, ``<PHONE>``).
+
+    Redaction order is fixed (emails, then IPs, then phones) so digit
+    runs inside an already-redacted wider match are never double-hit;
+    counts are taken on the ORIGINAL text, so they are independent of
+    that order.
+
+    Scale shape: one projection of six ``regexp_*`` Column expressions
+    — whole-stage codegen, zero shuffle, zero Python; at 100 TB this
+    is a pure map over the scan with full column pruning (only
+    ``text_col`` is read beyond the carried keys)."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>"),
+        PII_PHONE, "<PHONE>")
+    return df.withColumns({
+        "n_emails": F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)).cast("long"),
+        "n_ipv4": F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0)).cast("long"),
+        "n_phones": F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0)).cast("long"),
+        "redacted": redacted,
+    })
+
+
 # ---- language ID (Arrow UDF; char-class n-gram heuristic) ------------------
 
 _LANG_RANGES = [

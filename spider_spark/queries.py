@@ -1387,6 +1387,65 @@ SQL_QUALITY_SCORES = r"""
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (public C4 / BigCode / The-Pile
+    scrubbing pass) through the production `text.pii_features`
+    operator — emails, IPv4s, phone-shaped numbers counted on the
+    original text and replaced by sentinels in `redacted`.
+
+    The corpus text is digit-free word soup, so the PII is synthesized
+    deterministically per document (same derived-column pattern as
+    `badlist_filter`): every doc gains a contact email, every 5th a cc
+    email, every doc a client IP, every 3rd a phone.  One projection,
+    zero shuffle, zero Python; counts vary 1-2 / 1 / 0-1 per row so
+    the oracle hash pins both detection and redaction order."""
+    d = _load(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid, F.lit("@"), F.col("source"),
+        F.lit(".example"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" cc admin"), sid, F.lit("@mail.test"))
+               ).otherwise(F.lit("")),
+        F.lit(" from 10."), (F.col("doc_id") % 250).cast("string"),
+        F.lit("."), (F.col("doc_id") % 100).cast("string"),
+        F.lit("."), (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" tel 555-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"),
+                               4, "0"))).otherwise(F.lit("")),
+    )
+    out = text.pii_features(d.select("doc_id", pii_text.alias("text")))
+    return out.select("doc_id", "n_emails", "n_ipv4", "n_phones", "redacted")
+
+
+SQL_PII_SCRUB = f"""
+    WITH p AS (
+      SELECT doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR) || '@'
+             || source || '.example'
+          || CASE WHEN doc_id % 5 = 0 THEN ' cc admin'
+               || CAST(doc_id AS VARCHAR) || '@mail.test' ELSE '' END
+          || ' from 10.' || CAST(doc_id % 250 AS VARCHAR)
+          || '.' || CAST(doc_id % 100 AS VARCHAR)
+          || '.' || CAST(doc_id % 50 AS VARCHAR)
+          || CASE WHEN doc_id % 3 = 0 THEN ' tel 555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE '' END AS t
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '{text.PII_EMAIL}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(t, '{text.PII_IPV4}')) AS BIGINT) AS n_ipv4,
+      CAST(len(regexp_extract_all(t, '{text.PII_PHONE}')) AS BIGINT) AS n_phones,
+      regexp_replace(regexp_replace(regexp_replace(t,
+          '{text.PII_EMAIL}', '<EMAIL>', 'g'),
+          '{text.PII_IPV4}', '<IP>', 'g'),
+          '{text.PII_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM p
+"""
+
+
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rules repetition signals: duplicate-trigram fraction
     (per-row JVM array expression, zero shuffle) + top-bigram share
@@ -2090,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q_length_histogram,
         "length_quantiles": q_length_quantiles,
         "quality_scores": q_quality_scores,
+        "pii_scrub": q_pii_scrub,
         "filter_decisions": q_filter_decisions,
         "unigram_xent": q_unigram_xent,
         "repetition_scores": q_repetition_scores,
@@ -2149,6 +2209,7 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram": SQL_LENGTH_HISTOGRAM,
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "quality_scores": SQL_QUALITY_SCORES,
+        "pii_scrub": SQL_PII_SCRUB,
         "filter_decisions": SQL_FILTER_DECISIONS,
         "unigram_xent": SQL_UNIGRAM_XENT,
         "media_ref_dedup": SQL_MEDIA_REF_DEDUP,

@@ -622,6 +622,46 @@ def test_round5_dedup_query_plan_shapes(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, fn.__name__
 
 
+def test_pii_features_semantics_and_plan(spark, sf_dir):
+    """pii_features edge semantics: counts on the original text,
+    fixed redaction order (an IP that is part of an email's domain is
+    consumed by the email sentinel, not double-redacted), empty and
+    PII-free text pass through untouched.  Plan: pure JVM projection
+    (no Python/Arrow nodes, no shuffle operators)."""
+    rows = [
+        (0, "mail me at a.b+c@sub.host.org or 10.0.0.1 tel 555-0199"),
+        (1, "no pii here just words"),
+        (2, ""),
+        (3, "u@4.2.2.2.example borderline"),  # domain looks IP-ish
+        (4, "edge 999.999.999.999 and 555-12345 overlong"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.pii_features(df).collect()}
+
+    assert (got[0]["n_emails"], got[0]["n_ipv4"], got[0]["n_phones"]) == (1, 1, 1)
+    assert got[0]["redacted"] == "mail me at <EMAIL> or <IP> tel <PHONE>"
+    assert (got[1]["n_emails"], got[1]["n_ipv4"], got[1]["n_phones"]) == (0, 0, 0)
+    assert got[1]["redacted"] == rows[1][1]
+    assert got[2]["redacted"] == ""
+    # email wins over the embedded dotted-quad: one sentinel, no <IP>
+    assert got[3]["n_emails"] == 1
+    assert got[3]["redacted"] == "<EMAIL> borderline"
+    # naive \d{1,3} quad matches overlong octets (documented detector
+    # looseness, same as the public C4 pass); 5-digit run is NOT a phone
+    assert got[4]["n_ipv4"] == 1 and got[4]["n_phones"] == 0
+
+    plan = (text.pii_features(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "Exchange" not in plan
+
+    qplan = (__import__("spider_spark.queries", fromlist=["queries"])
+             .q_pii_scrub(spark, sf_dir)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in qplan and "Exchange" not in qplan
+    assert "lang#" not in qplan and "n_chars#" not in qplan
+
+
 def test_filter_decisions_plan_and_composition(spark, sf_dir):
     """filter_decisions must stay JVM-side with a (doc_id, text)-pruned
     scan, and its keep decision must equal composing the standalone
