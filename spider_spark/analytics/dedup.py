@@ -558,6 +558,52 @@ def ngram_contamination(
     )
 
 
+def line_dedup(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", min_docs: int = 2) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet / RefinedWeb / FineWeb
+    pass): a line whose normalized form (lowercased, trimmed) appears
+    in >= ``min_docs`` DISTINCT documents is boilerplate — headers,
+    copyright footers, nav text — and is dropped from every document.
+
+    Returns (doc_id, n_lines, n_dropped, cleaned) where ``cleaned``
+    rejoins the surviving lines in original order with their original
+    (un-normalized) text.
+
+    Scale shape: one posexplode of the line split, then (a) a
+    count-distinct hash-agg keyed on the 8-byte ``xxhash64`` of the
+    normalized line (map-side combinable; no line strings shuffled for
+    the frequency side) and (b) one equi-join of the exploded lines
+    against the surviving boilerplate keys — a table of only the
+    OVER-THRESHOLD lines, tiny relative to the corpus, so AQE
+    broadcasts it in practice (no hint: its size is corpus-dependent
+    and a wrong forced broadcast OOMs the driver at 100 TB).
+    Reassembly is one per-doc hash-agg whose collect_list holds struct
+    (pos, line) only for kept lines, sorted by pos — per-task memory
+    bounded by document length, same bound every text operator here
+    carries."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_k", F.xxhash64(F.lower(F.trim(F.col("line")))))
+    boiler = (
+        lines.groupBy("_k")
+        .agg(F.count_distinct("doc_id").alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_k", F.lit(True).alias("_drop"))
+    )
+    marked = lines.join(boiler, "_k", "left")
+    kept = F.when(F.col("_drop").isNull(), F.struct("pos", "line"))
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("_drop"), 1).otherwise(0))
+         .cast("long").alias("n_dropped"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)),
+                        lambda s: s["line"]),
+            "\n").alias("cleaned"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame | None = None,

@@ -800,6 +800,49 @@ SQL_DEDUP_SUBSTRING = r"""
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (CCNet / RefinedWeb / FineWeb
+    line-dedup pass) through `dedup.line_dedup`: lines appearing in
+    >= 2 distinct documents are dropped from every document, the
+    survivors rejoined in original order.
+
+    The corpus text has no newlines, so line structure is synthesized
+    deterministically (same derived-input pattern as `decontaminate`):
+    one regexp_replace turns every 3-word run into a line — 3-word
+    lines over the ~40-word vocabulary make cross-document repeats
+    common, which is exactly the boilerplate regime the operator
+    targets.  The pattern sticks to Java-regex ∩ RE2-identical syntax
+    so Spark and the DuckDB oracle segment identically."""
+    d = _load(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", r"(\S+ \S+ \S+) ", "$1\n"))
+    return dedup.line_dedup(d)
+
+
+SQL_LINE_DEDUP = r"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g')
+               AS text
+      FROM documents),
+    s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+    l AS (SELECT doc_id,
+                 unnest(generate_series(1, len(ls))) AS pos,
+                 unnest(ls) AS line
+          FROM s),
+    b AS (SELECT lower(trim(line)) AS k FROM l
+          GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+    m AS (SELECT l.doc_id, l.pos, l.line, (b.k IS NOT NULL) AS dropped
+          FROM l LEFT JOIN b ON lower(trim(l.line)) = b.k)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           coalesce(array_to_string(list(line ORDER BY pos)
+                    FILTER (WHERE NOT dropped), chr(10)), '') AS cleaned
+    FROM m GROUP BY doc_id
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (rows-only: k-permutation signatures
     are not ANSI-SQL; exactness is covered by test_analytics golden
@@ -2130,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix": q_dedup_prefix,
         "decontaminate": q_decontaminate,
         "dedup_substring": q_dedup_substring,
+        "line_dedup": q_line_dedup,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2192,6 +2236,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_prefix": SQL_DEDUP_PREFIX,
         "decontaminate": SQL_DECONTAMINATE,
         "dedup_substring": SQL_DEDUP_SUBSTRING,
+        "line_dedup": SQL_LINE_DEDUP,
         # dedup_minhash / dedup_simhash: rows-only (probabilistic signatures)
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_components": SQL_DEDUP_COMPONENTS,

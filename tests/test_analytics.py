@@ -426,6 +426,38 @@ def test_substring_pairs_cap_drops_boilerplate_bucket(spark):
     assert stats == {"buckets_over_cap": 1, "rows_dropped": 3}
 
 
+def test_line_dedup_golden(spark):
+    # "footer x" appears in docs 1 and 2 (case/whitespace-insensitively)
+    # so it is boilerplate and dropped from both; "only here" lines are
+    # unique and kept in original order; doc 3 is ALL boilerplate and
+    # must still emit a row with an empty cleaned string; the repeated
+    # line inside doc 4 alone (1 distinct doc) is NOT boilerplate.
+    docs = spark.createDataFrame(
+        [(1, "keep one\nfooter x\nkeep two"),
+         (2, "other text\n  Footer X  \nmore text"),
+         (3, "footer x"),
+         (4, "same line\nsame line")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.line_dedup(docs).collect()}
+    assert out[1]["cleaned"] == "keep one\nkeep two"
+    assert (out[1]["n_lines"], out[1]["n_dropped"]) == (3, 1)
+    assert out[2]["cleaned"] == "other text\nmore text"
+    assert out[3]["cleaned"] == "" and out[3]["n_dropped"] == 1
+    assert out[4]["cleaned"] == "same line\nsame line"
+    assert out[4]["n_dropped"] == 0
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    # min_docs=3: a line in only 2 docs survives everywhere
+    docs = spark.createDataFrame(
+        [(1, "shared\na"), (2, "shared\nb"), (3, "solo")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.line_dedup(docs, min_docs=3).collect()}
+    assert out[1]["cleaned"] == "shared\na"
+    assert sum(r["n_dropped"] for r in out.values()) == 0
+
+
 def test_ngram_contamination_golden(spark):
     # doc 1 contains the held-out doc's "a b c" trigram once (distinct
     # grams per doc: repeats inside a doc count once); doc 2 contains
