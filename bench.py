@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_minhash",
     "decontaminate",
     "dedup_substring",
+    "line_dedup",
     "ann_bruteforce",
     "quality_scores",
     "pii_scrub",
