@@ -52,6 +52,7 @@ HEADLINE = [
     "pii_scrub",
     "filter_decisions",
     "unigram_xent",
+    "collocations",
     "repetition_scores",
     "token_counts",
     "dataset_split",

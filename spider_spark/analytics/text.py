@@ -144,6 +144,64 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     )
 
 
+def collocations(docs: DataFrame, text_col: str = "text",
+                 min_count: int = 5, topk: int = 100) -> DataFrame:
+    """Corpus-level collocation (bigram) extraction ranked by
+    pointwise mutual information — the classic corpus-analysis pass
+    (Church & Hanks 1990) for surfacing multiword units and template
+    phrases when curating training text.
+
+    Returns the top ``topk`` bigrams with ``count >= min_count`` as
+    (w1, w2, pair_count, pmi_ratio).  ``pmi_ratio`` is
+    ``c12·T / (c1·c2)`` — PMI without the final log, which is monotone
+    in it, so the ranking is identical; it is computed as ONE division
+    of exact-integer-valued doubles (the ``doc_tfidf`` precedent) so
+    Spark and the DuckDB oracle produce bit-identical values.  The
+    tiebreak (ratio desc, then w1, w2) is a total order, so the top-k
+    cut is deterministic in both engines.
+
+    Scale shape: bigrams are built JVM-side (one ``transform`` over
+    the token array, exploded to (w1, w2) pairs — no string n-gram
+    concatenation) and counted by a map-side-combinable hash-agg; the
+    unigram table joins WITHOUT a broadcast hint — web-scale vocab is
+    hundreds of millions of keys, so a forced broadcast would OOM the
+    driver, while AQE still broadcasts it when it measures small.
+    Only the corpus-total scalar is broadcast.  The final top-k is an
+    ``orderBy().limit()`` — TakeOrderedAndProject, never a full
+    sort."""
+    toks = docs.select(
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("w"))
+    idx = F.when(F.size("w") >= 2,
+                 F.sequence(F.lit(0), F.size("w") - 2)
+                 ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(idx, lambda i: F.struct(
+        F.get("w", i).alias("w1"), F.get("w", i + 1).alias("w2")))
+    big = toks.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    c12 = (big.groupBy("w1", "w2")
+           .agg(F.count("*").alias("c12"))
+           .filter(F.col("c12") >= min_count))
+    uni = (toks.select(F.explode("w").alias("wd"))
+           .groupBy("wd").agg(F.count("*").alias("c")))
+    tot = big.agg(F.count("*").alias("total_bigrams"))
+    scored = (
+        c12
+        .join(uni.select(F.col("wd").alias("w1"), F.col("c").alias("c1")),
+              "w1")
+        .join(uni.select(F.col("wd").alias("w2"), F.col("c").alias("c2")),
+              "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2",
+            F.col("c12").cast("long").alias("pair_count"),
+            ((F.col("c12").cast("double")
+              * F.col("total_bigrams").cast("double"))
+             / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+             ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_ratio"), "w1", "w2").limit(topk)
+
+
 # ---- PII detection / redaction (JVM-side) ----------------------------------
 
 # Patterns are deliberately restricted to syntax whose match semantics

@@ -1489,6 +1489,42 @@ SQL_PII_SCRUB = f"""
 """
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 bigram collocations by PMI (Church & Hanks) through
+    `text.collocations`: pair counts >= 5, ranked by the exact-product
+    PMI ratio with a total-order tiebreak so Spark and DuckDB cut the
+    same top-k.  No broadcast hint on the unigram join — web-scale
+    vocab would OOM a forced broadcast; only the corpus-total scalar
+    broadcasts."""
+    d = _load(spark, sf_dir, "documents")
+    return text.collocations(d, min_count=5, topk=100)
+
+
+SQL_COLLOCATIONS = r"""
+    WITH w AS (
+      SELECT string_split_regex(lower(text), '\s+') AS ws FROM documents),
+    b AS (
+      SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i + 1])) AS w2
+      FROM w),
+    p AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2
+          HAVING COUNT(*) >= 5),
+    u AS (SELECT wd, COUNT(*) AS c
+          FROM (SELECT unnest(ws) AS wd FROM w) GROUP BY 1),
+    t AS (SELECT COUNT(*) AS total_bigrams FROM b)
+    SELECT p.w1, p.w2, CAST(p.c12 AS BIGINT) AS pair_count,
+           (CAST(p.c12 AS DOUBLE) * CAST(t.total_bigrams AS DOUBLE))
+             / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS pmi_ratio
+    FROM p CROSS JOIN t
+    JOIN u u1 ON p.w1 = u1.wd
+    JOIN u u2 ON p.w2 = u2.wd
+    ORDER BY pmi_ratio DESC, w1, w2
+    LIMIT 100
+"""
+
+
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rules repetition signals: duplicate-trigram fraction
     (per-row JVM array expression, zero shuffle) + top-bigram share
@@ -2196,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "filter_decisions": q_filter_decisions,
         "unigram_xent": q_unigram_xent,
+        "collocations": q_collocations,
         "repetition_scores": q_repetition_scores,
         "corpus_profile": q_corpus_profile,
         "lang_id": q_lang_id,
@@ -2257,6 +2294,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": SQL_PII_SCRUB,
         "filter_decisions": SQL_FILTER_DECISIONS,
         "unigram_xent": SQL_UNIGRAM_XENT,
+        "collocations": SQL_COLLOCATIONS,
         "media_ref_dedup": SQL_MEDIA_REF_DEDUP,
         "pagerank": SQL_PAGERANK,
         "crawl_depth": SQL_CRAWL_DEPTH,

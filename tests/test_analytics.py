@@ -426,6 +426,29 @@ def test_substring_pairs_cap_drops_boilerplate_bucket(spark):
     assert stats == {"buckets_over_cap": 1, "rows_dropped": 3}
 
 
+def test_collocations_golden(spark):
+    # hand-computed PMI ratios: pairs (x,y) c12=3 and (z,z) c12=4,
+    # unigrams x=3 y=3 z=5 q=1, total bigrams T=10 (the single-token
+    # doc 3 contributes no bigram and must not crash the builder)
+    #   ratio(x,y) = 3*10/(3*3) = 3.333...,  ratio(z,z) = 4*10/25 = 1.6
+    docs = spark.createDataFrame(
+        [(1, "x y x y q"), (2, "x y z z z z z"), (3, "solo")],
+        "doc_id long, text string")
+    rows = text.collocations(docs, min_count=2, topk=10).collect()
+    got = [(r["w1"], r["w2"], r["pair_count"], round(r["pmi_ratio"], 6))
+           for r in rows]
+    assert got == [("x", "y", 3, round(30 / 9, 6)), ("z", "z", 4, 1.6)]
+
+
+def test_collocations_topk_tiebreak(spark):
+    # two pairs with identical ratios: the (w1, w2) tiebreak decides
+    # the top-1 cut deterministically
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d c d")], "doc_id long, text string")
+    rows = text.collocations(docs, min_count=2, topk=1).collect()
+    assert [(r["w1"], r["w2"]) for r in rows] == [("a", "b")]
+
+
 def test_line_dedup_golden(spark):
     # "footer x" appears in docs 1 and 2 (case/whitespace-insensitively)
     # so it is boilerplate and dropped from both; "only here" lines are
