@@ -94,6 +94,38 @@ def stream_event_sessions(
     )
 
 
+def stream_event_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming dedup-on-arrival: readStream → watermark →
+    ``dropDuplicatesWithinWatermark`` on the event key.  At-least-once
+    sources (fetch retries, USK re-notifications, replayed file
+    batches) deliver the same event more than once; this suppresses
+    re-deliveries whose event-time falls inside the watermark horizon
+    while keeping the dedup state store BOUNDED — keys older than the
+    watermark are evicted, unlike streaming ``dropDuplicates`` whose
+    state grows without bound.  The batch-side analog is the engine's
+    URL-seen gate (the reference skips already-SUCCEEDED pages,
+    Spider.java:470-476); this is its event-stream twin.
+
+    Append-mode output projected to (event_id, ts, event_type,
+    value).  ``max_files_per_trigger`` bounds each micro-batch (and in
+    tests forces redeliveries into LATER batches so the dedup state
+    store, not same-batch aggregation, does the suppressing)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "event_type", "value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # custom stateful operator: per-host politeness token bucket
 

@@ -11,6 +11,7 @@ from spider_spark.streaming.events import (
     EditionStream,
     politeness_gate,
     run_available_now,
+    stream_event_dedup,
     stream_event_sessions,
     stream_event_windows,
 )
@@ -45,6 +46,43 @@ def test_stream_window_agg_matches_batch(spark, events_dir):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_stream_dedup_suppresses_cross_batch_redelivery(
+        spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark must suppress re-deliveries of the
+    same event_id arriving in a LATER micro-batch (at-least-once
+    replay): two source files processed as separate batches via
+    maxFilesPerTrigger=1, the second a full replay of the first plus
+    fresh rows.  Watermark is wide enough that no dedup state evicts
+    inside the test window, so output == batch-distinct exactly."""
+    src = (spark.read.parquet(f"{sf_dir}/events.parquet")
+           .dropDuplicates(["event_id"]).limit(400).cache())
+    first = src.limit(300)
+    fresh = src.subtract(first)
+    d = str(tmp_path / "dedup_src")
+    os.makedirs(d)
+    first.coalesce(1).write.parquet(str(tmp_path / "a"))
+    first.unionAll(fresh).coalesce(1).write.parquet(str(tmp_path / "b"))
+    for i, part in enumerate(("a", "b")):
+        f = [x for x in os.listdir(str(tmp_path / part))
+             if x.endswith(".parquet")][0]
+        shutil.copy(str(tmp_path / part / f), os.path.join(d, f"{i}_{f}"))
+    result = stream_event_dedup(spark, d, watermark="3650 days",
+                                max_files_per_trigger=1)
+    q = (result.writeStream.format("memory").queryName("t_stream_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    streamed = spark.sql(
+        "SELECT event_id, count(*) AS c FROM t_stream_dedup GROUP BY 1"
+    ).collect()
+    q.stop()
+    expected_ids = {r["event_id"] for r in src.select("event_id").collect()}
+    assert n_batches >= 2  # the replay really arrived in a later batch
+    assert {r["event_id"] for r in streamed} == expected_ids
+    assert all(r["c"] == 1 for r in streamed)  # every redelivery dropped
+    src.unpersist()
 
 
 def test_stream_sessions_match_batch(spark, events_dir, sf_dir):
