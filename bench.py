@@ -57,6 +57,7 @@ HEADLINE = [
     "token_counts",
     "dataset_split",
     "dataset_balance",
+    "lang_temperature",
     "vocab_coverage",
     "length_histogram",
     "length_quantiles",

@@ -1270,6 +1270,67 @@ SQL_DATASET_BALANCE = """
 """
 
 
+_TEMP_ALPHA = 0.3
+
+
+def q_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-sampling weights: the multilingual
+    mixture step (XLM-R/mT5 style) where a language with corpus share
+    ``p_l`` is sampled with probability ``q_l ∝ p_l^α`` (α=0.3), which
+    upsamples low-resource languages without flattening the mix.
+    Reports each language's share, its temperature weight, the implied
+    per-epoch document quota, and the upsampling boost ``q/p``.
+
+    Scale shape: the only corpus pass is one map-side-combinable count
+    by lang; everything after runs on a ≤|langs|-row frame.  The float
+    normalizer ``Z = Σ p_l^α`` is folded over a *sorted* collect_list
+    so its value is independent of partition layout — a plain double
+    ``SUM`` re-orders with partitioning and can drift in the last ulp,
+    breaking reproducibility of the rounded report."""
+    d = _load(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    tot = c.agg(F.sum("n_docs").cast("double").alias("_N"))
+    w = c.crossJoin(F.broadcast(tot)).withColumn(
+        "_w",
+        F.pow(F.col("n_docs").cast("double") / F.col("_N"),
+              F.lit(_TEMP_ALPHA)),
+    )
+    z = (
+        w.agg(F.sort_array(F.collect_list("_w")).alias("_ws"))
+        .select(F.aggregate("_ws", F.lit(0.0), lambda a, x: a + x)
+                .alias("_Z"))
+    )
+    p = F.col("n_docs").cast("double") / F.col("_N")
+    q = F.col("_w") / F.col("_Z")
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(p, 6).alias("share"),
+            F.round(q, 6).alias("weight"),
+            F.round(q / p, 6).alias("boost"),
+            F.round(q * F.col("_N")).cast("long").alias("expected_docs"),
+        )
+    )
+
+
+SQL_LANG_TEMPERATURE = f"""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+    t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS N FROM c),
+    w AS (SELECT lang, n_docs, POWER(n_docs / t.N, {_TEMP_ALPHA}) AS w, t.N
+          FROM c, t),
+    z AS (SELECT list_aggregate(list(w ORDER BY w), 'sum') AS Z FROM w)
+    SELECT lang, n_docs,
+           ROUND(n_docs / N, 6) AS share,
+           ROUND(w / Z, 6) AS weight,
+           ROUND((w / Z) / (n_docs / N), 6) AS boost,
+           CAST(ROUND(w / Z * N, 0) AS BIGINT) AS expected_docs
+    FROM w, z
+"""
+
+
 _VOCAB_K = 50
 
 
@@ -2225,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "dataset_split": q_dataset_split,
         "dataset_balance": q_dataset_balance,
+        "lang_temperature": q_lang_temperature,
         "vocab_coverage": q_vocab_coverage,
         "length_histogram": q_length_histogram,
         "length_quantiles": q_length_quantiles,
@@ -2287,6 +2349,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": SQL_TOKEN_COUNTS,
         "dataset_split": SQL_DATASET_SPLIT,
         "dataset_balance": SQL_DATASET_BALANCE,
+        "lang_temperature": SQL_LANG_TEMPERATURE,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "length_histogram": SQL_LENGTH_HISTOGRAM,
         "length_quantiles": SQL_LENGTH_QUANTILES,

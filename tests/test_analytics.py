@@ -365,6 +365,50 @@ def test_dataset_balance_skewed_sources(spark):
     assert 0 < kept_big < 40  # actually downsampled, not all-or-nothing
 
 
+def test_lang_temperature_properties(spark, sf_dir):
+    """α=0.3 temperature sampling: weights form a distribution, rare
+    languages are boosted above their share and the dominant one is
+    damped below it, quotas conserve corpus size, and the rounded
+    report is bit-stable under a different partition layout (the
+    sorted-fold normalizer is the partition-order defence)."""
+    from spider_spark import queries as Q
+
+    rows = Q.q_lang_temperature(spark, sf_dir).collect()
+    by_lang = {r["lang"]: r for r in rows}
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    total = sum(r["n_docs"] for r in rows)
+    assert abs(sum(r["expected_docs"] for r in rows) - total) <= len(rows)
+    top = max(rows, key=lambda r: r["n_docs"])
+    low = min(rows, key=lambda r: r["n_docs"])
+    assert top["boost"] < 1.0 < low["boost"]
+    assert top["weight"] < top["share"] and low["weight"] > low["share"]
+
+    # partition-layout invariance of the full rounded report
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shuffled = base.repartition(17, "doc_id")
+    shuffled.createOrReplaceTempView("_lt_docs")
+    import pyspark.sql.functions as SF
+    c = shuffled.groupBy("lang").agg(
+        SF.count("*").cast("long").alias("n_docs"))
+    tot = c.agg(SF.sum("n_docs").cast("double").alias("_N"))
+    w = c.crossJoin(SF.broadcast(tot)).withColumn(
+        "_w", SF.pow(SF.col("n_docs").cast("double") / SF.col("_N"),
+                     SF.lit(Q._TEMP_ALPHA)))
+    z = (w.agg(SF.sort_array(SF.collect_list("_w")).alias("_ws"))
+         .select(SF.aggregate("_ws", SF.lit(0.0), lambda a, x: a + x)
+                 .alias("_Z")))
+    p = SF.col("n_docs").cast("double") / SF.col("_N")
+    qq = SF.col("_w") / SF.col("_Z")
+    re_rows = (w.crossJoin(SF.broadcast(z))
+               .select("lang", SF.round(qq, 6).alias("weight"),
+                       SF.round(qq / p, 6).alias("boost"))
+               .collect())
+    for r in re_rows:
+        assert r["weight"] == by_lang[r["lang"]]["weight"], r["lang"]
+        assert r["boost"] == by_lang[r["lang"]]["boost"], r["lang"]
+
+
 def test_incremental_duplicates_golden(spark):
     # whitespace-collapse + lowercase normalization collides doc 1
     # ("a  b") with existing doc 2 ("A b"); doc 3 is novel
