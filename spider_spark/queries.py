@@ -2184,6 +2184,51 @@ SQL_POLITENESS_GATE = """
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-arrival under the driver's hash gate: the
+    ``dropDuplicatesWithinWatermark`` operator
+    (streaming/events.stream_event_dedup) run available-now over the
+    events table plus a deterministic at-least-once redelivery (every
+    10th event re-delivered byte-identically, the fetch-retry / USK
+    re-notification shape).  Base event_ids are unique and
+    redeliveries are identical copies, so the surviving row per key
+    has deterministic values and the output equals the original event
+    set — an ANSI-SQL hash check of a stateful streaming dedup.
+    Timestamps are projected to epoch seconds to keep the DuckDB
+    comparison timezone-free (same convention as politeness_gate)."""
+    import tempfile
+
+    from spider_spark.streaming.events import (
+        run_available_now, stream_event_dedup,
+    )
+
+    e = _load(spark, sf_dir, "events")
+    feed = e.unionAll(e.filter(F.col("event_id") % 10 == 0)).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    feed.write.mode("overwrite").parquet(d)
+    q = run_available_now(
+        stream_event_dedup(spark, d, watermark="3650 days"),
+        "t_stream_dedup_q", output_mode="append")
+    out = spark.table("t_stream_dedup_q").select(
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
+        "event_type",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    ).localCheckpoint()
+    q.stop()
+    return out
+
+
+SQL_STREAM_DEDUP = """
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+           event_type,
+           ROUND(CAST(value AS DOUBLE), 6) AS value
+    FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational breadth (TPC-H-ish shapes over the star schema)
 
@@ -2307,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "event_sessions": q_event_sessions,
         "politeness_gate": q_politeness_gate,
+        "stream_dedup": q_stream_dedup,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
     }
@@ -2369,6 +2415,7 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": SQL_EVENT_WINDOWS,
         "event_sessions": SQL_EVENT_SESSIONS,
         "politeness_gate": SQL_POLITENESS_GATE,
+        "stream_dedup": SQL_STREAM_DEDUP,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_customers": SQL_TOP_CUSTOMERS,
     }
