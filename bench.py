@@ -34,6 +34,7 @@ HEADLINE = [
     "robots_filter",
     "term_doc_stats",
     "tf_relevance",
+    "buffer_flush_model",
     "doc_tfidf",
     "search_topk",
     "search_phrase",

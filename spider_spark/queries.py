@@ -359,6 +359,80 @@ SQL_TF_RELEVANCE = f"""
 """
 
 
+_FLUSH_LIMIT_BYTES = 4 * 1024 * 1024  # reference default, Config.java:62
+
+
+def q_buffer_flush_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's postings-buffer SIZE-ESTIMATE model, re-run over
+    the derived index: each buffered TermPageEntry is costed at
+    ``len(pageURI) + len(title) + len(term) + 4·|positions|`` bytes
+    (TermPageEntry.java:118-125; the +4-per-added-position increment at
+    LibraryBuffer.java:152), and the buffer flushes to Library at the
+    4 MB default (Config.java:62, Spider.java:429).  Output: the 20
+    heaviest terms by estimated buffered bytes (bytes DESC, term ASC —
+    total order so Spark and DuckDB cut the same k), each row carrying
+    the corpus-wide totals and the implied flush count — the sizing
+    arithmetic an operator uses to pick the flush threshold.
+
+    Scale shape: one token scan → one (doc, term) hash-agg (map-side
+    combinable) → one per-term agg; the totals are a 1-row broadcast.
+    URI/title lengths use the same synthetic forms as the frontier
+    view so the byte model is deterministic at every SF."""
+    toks = _tokens(spark, sf_dir)
+    uri_len = F.length(F.concat(F.lit("http://docs.example/"),
+                                F.col("doc_id").cast("string")))
+    title_len = F.length(F.concat(F.lit("Document "),
+                                  F.col("doc_id").cast("string")))
+    per_entry = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("positions"))
+        .select(
+            "term",
+            (uri_len + title_len + F.length("term")
+             + 4 * F.col("positions")).cast("long").alias("entry_bytes"),
+        )
+    )
+    per_term = per_entry.groupBy("term").agg(
+        F.count("*").cast("long").alias("n_entries"),
+        F.sum("entry_bytes").cast("long").alias("est_bytes"),
+    )
+    totals = per_term.agg(
+        F.sum("est_bytes").cast("long").alias("total_bytes"),
+        F.ceil(F.sum("est_bytes") / F.lit(_FLUSH_LIMIT_BYTES))
+        .cast("long").alias("n_flushes"),
+    )
+    return (
+        per_term.crossJoin(F.broadcast(totals))
+        .orderBy(F.col("est_bytes").desc(), "term")
+        .limit(20)
+        .select("term", "n_entries", "est_bytes", "total_bytes",
+                "n_flushes")
+    )
+
+
+SQL_BUFFER_FLUSH_MODEL = f"""
+    WITH t AS ({_TOKENS_SQL}),
+    e AS (
+      SELECT term,
+             length('http://docs.example/' || CAST(doc_id AS VARCHAR))
+               + length('Document ' || CAST(doc_id AS VARCHAR))
+               + length(term) + 4 * COUNT(*) AS entry_bytes
+      FROM t GROUP BY doc_id, term),
+    p AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS n_entries,
+             CAST(SUM(entry_bytes) AS BIGINT) AS est_bytes
+      FROM e GROUP BY term),
+    s AS (
+      SELECT CAST(SUM(est_bytes) AS BIGINT) AS total_bytes,
+             CAST(ceil(CAST(SUM(est_bytes) AS DOUBLE)
+                       / {_FLUSH_LIMIT_BYTES}) AS BIGINT) AS n_flushes
+      FROM p)
+    SELECT term, n_entries, est_bytes, total_bytes, n_flushes
+    FROM p CROSS JOIN s
+    ORDER BY est_bytes DESC, term LIMIT 20
+"""
+
+
 # the index's consumer path: the reference writes TermEntry pages for
 # Library, which intersects per-term hit lists and relevance-sorts the
 # result (SURVEY §2 A5/A7's downstream reader).  Fixed deterministic
@@ -2305,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_host": q_topk_per_host,
         "term_doc_stats": q_term_doc_stats,
         "tf_relevance": q_tf_relevance,
+        "buffer_flush_model": q_buffer_flush_model,
         "search_topk": q_search_topk,
         "search_phrase": q_search_phrase,
         "search_snippet": q_search_snippet,
@@ -2371,6 +2446,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_host": SQL_TOPK_PER_HOST,
         "term_doc_stats": SQL_TERM_DOC_STATS,
         "tf_relevance": SQL_TF_RELEVANCE,
+        "buffer_flush_model": SQL_BUFFER_FLUSH_MODEL,
         "search_topk": SQL_SEARCH_TOPK,
         "search_phrase": SQL_SEARCH_PHRASE,
         "search_snippet": SQL_SEARCH_SNIPPET,
