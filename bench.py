@@ -72,6 +72,7 @@ HEADLINE = [
     "pagerank",
     "crawl_depth",
     "link_degrees",
+    "anchor_texts",
     "semdedup",
 ]
 

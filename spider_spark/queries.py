@@ -2008,6 +2008,70 @@ SQL_MEDIA_REF_DEDUP = (
 """)
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link target — the classic web-index
+    signal (Brin & Page '98: index a page under the text of links
+    pointing AT it).  The reference extracts link targets but discards
+    the surrounding text (`Spider.java:653-657` queues bare foundURIs);
+    a web-scale indexer keeps it.  Anchor analog over the interleaved
+    corpus: the referencing document's leading bigram.  Output per
+    target URL: in-link count, distinct-anchor count, and the dominant
+    anchor with its count (count DESC, anchor ASC — total order, so
+    Spark and DuckDB elect the same winner).
+
+    Scale shape: one edges↔anchors shuffle join on src, then two
+    hash aggs; the top-anchor window runs on the (dst, anchor) frame,
+    which is ≤ out-degree × |docs| and collapses further under the
+    groupBy — never on raw edges."""
+    edges = _media_edges(spark, sf_dir)
+    d = _load(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://"), F.col("source"),
+                   F.lit(".example/d/"), F.col("doc_id"))
+    anchors = d.select(
+        url.alias("src"),
+        F.concat_ws(" ", F.slice(F.split(F.lower("text"), r"\s+"), 1, 2))
+        .alias("anchor"),
+    )
+    ea = edges.join(anchors, "src")
+    tot = ea.groupBy("dst").agg(
+        F.count("*").cast("long").alias("n_refs"),
+        F.countDistinct("anchor").cast("long").alias("n_anchors"),
+    )
+    per = ea.groupBy("dst", "anchor").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("dst").orderBy(F.col("c").desc(), "anchor")
+    top = (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("dst", F.col("anchor").alias("top_anchor"),
+                F.col("c").cast("long").alias("top_count"))
+    )
+    return tot.join(top, "dst").select(
+        F.col("dst").alias("url"), "n_refs", "n_anchors",
+        "top_anchor", "top_count")
+
+
+SQL_ANCHOR_TEXTS = (
+    "WITH " + _EDGES_SQL + r""",
+    a AS (
+      SELECT 'http://' || source || '.example/d/' || doc_id AS src,
+             array_to_string(string_split_regex(lower(text), '\s+')[1:2],
+                             ' ') AS anchor
+      FROM documents),
+    ea AS (SELECT e.dst, a.anchor FROM e JOIN a ON e.src = a.src),
+    per AS (SELECT dst, anchor, COUNT(*) AS c FROM ea GROUP BY 1, 2),
+    tot AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_refs,
+                   CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_anchors
+            FROM ea GROUP BY dst),
+    top AS (SELECT dst, anchor AS top_anchor, CAST(c AS BIGINT) AS top_count,
+                   row_number() OVER (PARTITION BY dst
+                                      ORDER BY c DESC, anchor) AS rn
+            FROM per)
+    SELECT tot.dst AS url, n_refs, n_anchors, top_anchor, top_count
+    FROM tot JOIN top ON tot.dst = top.dst
+    WHERE top.rn = 1
+""")
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the interleaved corpus's media-link graph — the
     frontier-prioritization signal the reference never computes
@@ -2421,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "media_features": q_media_features,
         "media_ref_dedup": q_media_ref_dedup,
+        "anchor_texts": q_anchor_texts,
         "pagerank": q_pagerank,
         "crawl_depth": q_crawl_depth,
         "link_degrees": q_link_degrees,
@@ -2481,6 +2546,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_xent": SQL_UNIGRAM_XENT,
         "collocations": SQL_COLLOCATIONS,
         "media_ref_dedup": SQL_MEDIA_REF_DEDUP,
+        "anchor_texts": SQL_ANCHOR_TEXTS,
         "pagerank": SQL_PAGERANK,
         "crawl_depth": SQL_CRAWL_DEPTH,
         "link_degrees": SQL_LINK_DEGREES,
