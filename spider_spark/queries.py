@@ -375,20 +375,28 @@ def q_buffer_flush_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic an operator uses to pick the flush threshold.
 
     Scale shape: one token scan → one (doc, term) hash-agg (map-side
-    combinable) → one per-term agg; the totals are a 1-row broadcast.
-    URI/title lengths use the same synthetic forms as the frontier
-    view so the byte model is deterministic at every SF."""
+    combinable) → a join against the per-doc uri/title lengths (two
+    integers per document) → one per-term agg; the totals are a 1-row
+    broadcast.  URI and title are the CORPUS's own forms — the
+    interleaved view's `http://{source}.example/d/{doc_id}` URL and
+    its `Doc {url}` title span (flagship.interleaved_view) — so the
+    byte model prices this corpus's actual buffer, not a synthetic
+    stand-in."""
     toks = _tokens(spark, sf_dir)
-    uri_len = F.length(F.concat(F.lit("http://docs.example/"),
-                                F.col("doc_id").cast("string")))
-    title_len = F.length(F.concat(F.lit("Document "),
-                                  F.col("doc_id").cast("string")))
+    url = F.concat(F.lit("http://"), F.col("source"),
+                   F.lit(".example/d/"), F.col("doc_id").cast("string"))
+    doc_lens = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.length(url) + (F.length(url) + F.lit(4)))
+        .alias("_uri_title_len"),  # len(uri) + len('Doc ' + uri)
+    )
     per_entry = (
         toks.groupBy("doc_id", "term")
         .agg(F.count("*").alias("positions"))
+        .join(doc_lens, "doc_id")
         .select(
             "term",
-            (uri_len + title_len + F.length("term")
+            (F.col("_uri_title_len") + F.length("term")
              + 4 * F.col("positions")).cast("long").alias("entry_bytes"),
         )
     )
@@ -412,12 +420,17 @@ def q_buffer_flush_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_BUFFER_FLUSH_MODEL = f"""
     WITH t AS ({_TOKENS_SQL}),
+    dl AS (
+      SELECT doc_id,
+             2 * length('http://' || source || '.example/d/'
+                        || CAST(doc_id AS VARCHAR)) + 4 AS uri_title_len
+      FROM documents),
     e AS (
-      SELECT term,
-             length('http://docs.example/' || CAST(doc_id AS VARCHAR))
-               + length('Document ' || CAST(doc_id AS VARCHAR))
-               + length(term) + 4 * COUNT(*) AS entry_bytes
-      FROM t GROUP BY doc_id, term),
+      SELECT t.term,
+             dl.uri_title_len + length(t.term) + 4 * COUNT(*)
+               AS entry_bytes
+      FROM t JOIN dl ON t.doc_id = dl.doc_id
+      GROUP BY t.doc_id, t.term, dl.uri_title_len),
     p AS (
       SELECT term, CAST(COUNT(*) AS BIGINT) AS n_entries,
              CAST(SUM(entry_bytes) AS BIGINT) AS est_bytes
@@ -1361,7 +1374,13 @@ def q_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     so its value is independent of partition layout — a plain double
     ``SUM`` re-orders with partitioning and can drift in the last ulp,
     breaking reproducibility of the rounded report."""
-    d = _load(spark, sf_dir, "documents")
+    return _lang_temperature_report(_load(spark, sf_dir, "documents"))
+
+
+def _lang_temperature_report(d: DataFrame) -> DataFrame:
+    """q_lang_temperature's pipeline over an explicit documents frame
+    (the partition-invariance test feeds a repartitioned copy through
+    the SAME code path rather than a private duplicate)."""
     c = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
     tot = c.agg(F.sum("n_docs").cast("double").alias("_N"))
     w = c.crossJoin(F.broadcast(tot)).withColumn(
@@ -2266,6 +2285,21 @@ SQL_EVENT_SESSIONS = """
 """
 
 
+def _stage_parquet(df: DataFrame, prefix: str) -> str:
+    """Materialize a derived frame to a throwaway parquet dir to feed
+    a readStream source, removed at interpreter exit — repeated
+    correctness-gate runs must not accumulate /tmp copies of the
+    events table."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    df.write.mode("overwrite").parquet(d)
+    return d
+
+
 def q_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUSTOM STATEFUL streaming operator under the driver's hash
     gate: the applyInPandasWithState per-host politeness token bucket
@@ -2273,8 +2307,6 @@ def q_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates derived from the events table.  Its deterministic
     event-time semantics equal a batch window-rank, which is the DuckDB
     oracle — an ANSI-SQL check of a stateful streaming operator."""
-    import tempfile
-
     from spider_spark.streaming.events import (
         politeness_gate, run_available_now,
     )
@@ -2289,8 +2321,7 @@ def q_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("event_id").cast("string")).alias("url"),
         F.unix_timestamp("ts").alias("t_epoch"),
     )
-    d = tempfile.mkdtemp(prefix="polite_gate_")
-    cand.write.mode("overwrite").parquet(d)
+    d = _stage_parquet(cand, "polite_gate_")
     stream = spark.readStream.schema("host string, url string, t_epoch long") \
         .parquet(d)
     q = run_available_now(politeness_gate(stream, quota=2, window_s=3600),
@@ -2334,8 +2365,6 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     set — an ANSI-SQL hash check of a stateful streaming dedup.
     Timestamps are projected to epoch seconds to keep the DuckDB
     comparison timezone-free (same convention as politeness_gate)."""
-    import tempfile
-
     from spider_spark.streaming.events import (
         run_available_now, stream_event_dedup,
     )
@@ -2343,8 +2372,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _load(spark, sf_dir, "events")
     feed = e.unionAll(e.filter(F.col("event_id") % 10 == 0)).select(
         "event_id", "ts", "user_id", "event_type", "value", "props")
-    d = tempfile.mkdtemp(prefix="stream_dedup_")
-    feed.write.mode("overwrite").parquet(d)
+    d = _stage_parquet(feed, "stream_dedup_")
     q = run_available_now(
         stream_event_dedup(spark, d, watermark="3650 days"),
         "t_stream_dedup_q", output_mode="append")

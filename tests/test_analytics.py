@@ -384,29 +384,17 @@ def test_lang_temperature_properties(spark, sf_dir):
     assert top["boost"] < 1.0 < low["boost"]
     assert top["weight"] < top["share"] and low["weight"] > low["share"]
 
-    # partition-layout invariance of the full rounded report
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    shuffled = base.repartition(17, "doc_id")
-    shuffled.createOrReplaceTempView("_lt_docs")
-    import pyspark.sql.functions as SF
-    c = shuffled.groupBy("lang").agg(
-        SF.count("*").cast("long").alias("n_docs"))
-    tot = c.agg(SF.sum("n_docs").cast("double").alias("_N"))
-    w = c.crossJoin(SF.broadcast(tot)).withColumn(
-        "_w", SF.pow(SF.col("n_docs").cast("double") / SF.col("_N"),
-                     SF.lit(Q._TEMP_ALPHA)))
-    z = (w.agg(SF.sort_array(SF.collect_list("_w")).alias("_ws"))
-         .select(SF.aggregate("_ws", SF.lit(0.0), lambda a, x: a + x)
-                 .alias("_Z")))
-    p = SF.col("n_docs").cast("double") / SF.col("_N")
-    qq = SF.col("_w") / SF.col("_Z")
-    re_rows = (w.crossJoin(SF.broadcast(z))
-               .select("lang", SF.round(qq, 6).alias("weight"),
-                       SF.round(qq / p, 6).alias("boost"))
-               .collect())
+    # partition-layout invariance of the full rounded report: the
+    # SAME production pipeline over a repartitioned copy
+    shuffled = spark.read.parquet(
+        f"{sf_dir}/documents.parquet").repartition(17, "doc_id")
+    re_rows = Q._lang_temperature_report(shuffled).collect()
+    assert len(re_rows) == len(rows)
     for r in re_rows:
-        assert r["weight"] == by_lang[r["lang"]]["weight"], r["lang"]
-        assert r["boost"] == by_lang[r["lang"]]["boost"], r["lang"]
+        b = by_lang[r["lang"]]
+        for col in ("n_docs", "share", "weight", "boost",
+                    "expected_docs"):
+            assert r[col] == b[col], (r["lang"], col)
 
 
 def test_incremental_duplicates_golden(spark):
