@@ -59,6 +59,7 @@ HEADLINE = [
     "dataset_split",
     "dataset_balance",
     "lang_temperature",
+    "token_budget",
     "vocab_coverage",
     "length_histogram",
     "length_quantiles",

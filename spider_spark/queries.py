@@ -1424,6 +1424,85 @@ SQL_LANG_TEMPERATURE = f"""
 """
 
 
+_BUDGET_NUM, _BUDGET_DEN = 4, 5  # budget = 80% of corpus chars
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across languages — the
+    OTHER classic mixture-construction step (alongside
+    `lang_temperature`'s α-sampling): given a total budget B, find the
+    level T with Σ_l min(n_l, T) = B, keep low-resource languages
+    whole and cap the dominant ones at T.  Closed form, no iteration:
+    with languages sorted by size ascending, a language is kept whole
+    iff ``prefix_sum + remaining_count·n ≤ B``; T follows from the
+    last kept row.  B is 80% of total corpus chars in EXACT integer
+    arithmetic (``(total·4) div 5``) so Spark and DuckDB agree on the
+    boundary; only T itself is a float, rounded for the report.
+
+    Scale shape: one map-side-combinable corpus agg; every window
+    runs on the ≤|langs|-row frame."""
+    d = _load(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.sum("n_chars").cast("long").alias("n"))
+    tot = c.agg(F.expr(
+        f"(sum(n) * {_BUDGET_NUM}) div {_BUDGET_DEN}").alias("_B"))
+    w = Window.orderBy("n", "lang")
+    wall = Window.orderBy("n", "lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    j = F.row_number().over(w)
+    prefix = F.sum("n").over(w)
+    k = F.count("*").over(wall)
+    r = (
+        c.crossJoin(F.broadcast(tot))
+        .select("lang", "n", "_B",
+                j.alias("_j"), prefix.alias("_prefix"), k.alias("_k"))
+        .withColumn("_kept",
+                    F.col("_prefix")
+                    + (F.col("_k") - F.col("_j")) * F.col("n")
+                    <= F.col("_B"))
+    )
+    jstar = F.max(F.when(F.col("_kept"), F.col("_j")).otherwise(0)) \
+        .over(wall)
+    pstar = F.max(F.when(F.col("_kept"), F.col("_prefix")).otherwise(0)) \
+        .over(wall)
+    t_level = (F.col("_B") - pstar).cast("double") \
+        / (F.col("_k") - jstar).cast("double")
+    return r.select(
+        "lang",
+        F.col("n").alias("n_chars"),
+        F.round(F.when(F.col("_kept"), F.col("n").cast("double"))
+                .otherwise(t_level), 6).alias("alloc"),
+        (~F.col("_kept")).alias("capped"),
+    )
+
+
+SQL_TOKEN_BUDGET = f"""
+    WITH c AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n
+      FROM documents GROUP BY lang),
+    b AS (SELECT (SUM(n) * {_BUDGET_NUM}) // {_BUDGET_DEN} AS B FROM c),
+    r AS (
+      SELECT lang, n, b.B,
+             row_number() OVER w AS j,
+             SUM(n) OVER w AS prefix,
+             COUNT(*) OVER () AS k
+      FROM c, b
+      WINDOW w AS (ORDER BY n, lang ROWS UNBOUNDED PRECEDING)),
+    f AS (
+      SELECT *, (prefix + (k - j) * n <= B) AS kept FROM r),
+    g AS (
+      SELECT *,
+             MAX(CASE WHEN kept THEN j ELSE 0 END) OVER () AS jstar,
+             MAX(CASE WHEN kept THEN prefix ELSE 0 END) OVER () AS pstar
+      FROM f)
+    SELECT lang, n AS n_chars,
+           ROUND(CASE WHEN kept THEN CAST(n AS DOUBLE)
+                      ELSE CAST(B - pstar AS DOUBLE)
+                           / CAST(k - jstar AS DOUBLE) END, 6) AS alloc,
+           NOT kept AS capped
+    FROM g
+"""
+
+
 _VOCAB_K = 50
 
 
@@ -2499,6 +2578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "dataset_balance": q_dataset_balance,
         "lang_temperature": q_lang_temperature,
+        "token_budget": q_token_budget,
         "vocab_coverage": q_vocab_coverage,
         "length_histogram": q_length_histogram,
         "length_quantiles": q_length_quantiles,
@@ -2565,6 +2645,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": SQL_DATASET_SPLIT,
         "dataset_balance": SQL_DATASET_BALANCE,
         "lang_temperature": SQL_LANG_TEMPERATURE,
+        "token_budget": SQL_TOKEN_BUDGET,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "length_histogram": SQL_LENGTH_HISTOGRAM,
         "length_quantiles": SQL_LENGTH_QUANTILES,

@@ -397,6 +397,36 @@ def test_lang_temperature_properties(spark, sf_dir):
             assert r[col] == b[col], (r["lang"], col)
 
 
+def test_token_budget_water_filling(spark, sf_dir):
+    """Water-filling invariants: allocations sum exactly to the
+    integer budget B, kept languages receive their full size, capped
+    languages all sit at one common level T, T is below every capped
+    size and at-or-above every kept size (the defining property of the
+    water level), and at the 80% budget both branches are exercised."""
+    import duckdb
+    from spider_spark import queries as Q
+
+    rows = Q.q_token_budget(spark, sf_dir).collect()
+    con = duckdb.connect()
+    total = con.execute(
+        f"SELECT SUM(n_chars) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    con.close()
+    B = total * Q._BUDGET_NUM // Q._BUDGET_DEN
+
+    assert abs(sum(r["alloc"] for r in rows) - B) < 1e-3
+    kept = [r for r in rows if not r["capped"]]
+    capped = [r for r in rows if r["capped"]]
+    assert kept and capped  # 80% budget exercises both branches
+    for r in kept:
+        assert r["alloc"] == float(r["n_chars"])
+    levels = {r["alloc"] for r in capped}
+    assert len(levels) == 1  # one common water level
+    t = levels.pop()
+    assert all(t < r["n_chars"] for r in capped)
+    assert all(t >= r["n_chars"] for r in kept)
+
+
 def test_incremental_duplicates_golden(spark):
     # whitespace-collapse + lowercase normalization collides doc 1
     # ("a  b") with existing doc 2 ("A b"); doc 3 is novel
