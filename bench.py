@@ -74,6 +74,8 @@ HEADLINE = [
     "crawl_depth",
     "link_degrees",
     "anchor_texts",
+    "hits",
+    "dsir_weights",
     "semdedup",
 ]
 

@@ -158,3 +158,69 @@ def bfs_depths(edges: DataFrame, sources: DataFrame,
     depths = depths.localCheckpoint()
     e.unpersist()
     return depths
+
+
+def hits(edges: DataFrame, *, iterations: int = 2) -> DataFrame:
+    """Kleinberg's HITS hubs-and-authorities scores (JACM 46(5), 1999,
+    "Authoritative sources in a hyperlinked environment") over
+    ``edges(src, dst)`` with unit edge weights.  Returns
+    ``(node, auth, hub)`` max-normalized to [0, 1].
+
+    The power iteration runs UNNORMALIZED: with hub⁰ ≡ 1 every
+    intermediate score is an exact small integer (auth¹ is the
+    in-degree, hub¹ the sum of successor in-degrees, …), so the
+    per-node double sums are exact and partition-order independent —
+    bit-identical across engines and cluster layouts.  Normalization
+    is linear, so deferring it to one final division by the max (an
+    order-independent reduction) yields the same direction as the
+    textbook per-iteration rescale.  Integer headroom in doubles is
+    2^53; magnitudes grow like (mean degree)^(2·iterations), far
+    below that for any realistic iteration count.
+
+    Scale notes: identical shuffle shape to :func:`pagerank` — two
+    map-side-combined groupBys per iteration (on ``dst`` then
+    ``src``); the edge list is cached once and released before
+    returning, and the score frames stay one-row-per-node.
+    """
+    e = edges.select(F.col("src").cast("string").alias("src"),
+                     F.col("dst").cast("string").alias("dst")).cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        in_sum = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy("dst").agg(F.sum("hub").alias("_v"))
+        )
+        auth = (
+            nodes.join(in_sum, nodes["node"] == in_sum["dst"], "left")
+            .select("node", F.coalesce("_v", F.lit(0.0)).alias("auth"))
+        )
+        out_sum = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src").agg(F.sum("auth").alias("_v"))
+        )
+        hub = (
+            nodes.join(out_sum, nodes["node"] == out_sum["src"], "left")
+            .select("node", F.coalesce("_v", F.lit(0.0)).alias("hub"))
+        )
+    # max is 0 only on an empty edge list (all scores 0); guard keeps
+    # the division defined and both engines agree on the all-zero output
+    norms = auth.join(hub, "node").agg(
+        F.greatest(F.max("auth"), F.lit(1.0)).alias("_ma"),
+        F.greatest(F.max("hub"), F.lit(1.0)).alias("_mh"),
+    )
+    out = (
+        auth.join(hub, "node")
+        .crossJoin(F.broadcast(norms))
+        .select("node",
+                (F.col("auth") / F.col("_ma")).alias("auth"),
+                (F.col("hub") / F.col("_mh")).alias("hub"))
+        .localCheckpoint()
+    )
+    e.unpersist()
+    return out

@@ -296,8 +296,11 @@ SQL_TOPK_PER_HOST = f"""
 # ---------------------------------------------------------------------------
 # D/E. tokenization + postings aggregation (latin profile)
 
-def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _load(spark, sf_dir, "documents")
+def _tokens_of(d: DataFrame) -> DataFrame:
+    """Shared token derivation over any frame with (doc_id, text) —
+    lets callers push a document-level filter into the parquet scan
+    BEFORE the explode (dsir_weights' target pass) instead of
+    tokenizing everything and joining back."""
     toks = d.select(
         "doc_id",
         F.explode(
@@ -307,6 +310,10 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.filter(
         (F.length("term") >= 3) & ~F.col("term").isin("the", "and", "that", "have", "for")
     )
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tokens_of(_load(spark, sf_dir, "documents"))
 
 
 _TOKENS_SQL = f"""
@@ -1624,6 +1631,83 @@ SQL_UNIGRAM_XENT = f"""
 """
 
 
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", NeurIPS): per-document
+    log p_target(doc) − log p_raw(doc) under hashed-unigram bag-of-words
+    models, where the target distribution is the lang='en' slice of the
+    corpus and raw is the whole corpus.  Documents whose word buckets
+    look target-like score high and survive importance resampling.
+    Laplace-smoothed over a B=1024 hashed vocabulary.
+
+    Scale shape: two token passes (raw + the lang-filtered target — the
+    lang predicate pushes into the parquet scan, so the target pass
+    reads only target row groups), each collapsing to a ≤B-row bucket
+    frequency table via map-side-combined hash agg; the per-bucket
+    log-ratio table broadcasts (B rows) and the per-doc score is one
+    hash agg over the raw token stream.  Nothing wider than the token
+    stream ever shuffles.  The bucket hash is the first 6 hex digits of
+    md5 mod B — portable (DuckDB computes the identical value), unlike
+    xxhash64/murmur which have no DuckDB twin.  Rounded to 4 decimals:
+    the engines sum per-token doubles in different orders (same
+    headroom argument as unigram_xent)."""
+    d = _load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 6), 16, 10)
+        .cast("long") % _DSIR_BUCKETS
+    ).alias("bucket")
+    raw = _tokens_of(d).select("doc_id", bucket)
+    tgt = _tokens_of(d.filter(F.col("lang") == _DSIR_TARGET_LANG)).select(bucket)
+    rc = raw.groupBy("bucket").agg(F.count("*").alias("rc"))
+    tc = tgt.groupBy("bucket").agg(F.count("*").alias("tc"))
+    stats = rc.join(tc, "bucket", "left").select(
+        "bucket", "rc", F.coalesce("tc", F.lit(0)).alias("tc"))
+    tot = stats.agg(F.sum("rc").alias("tr"), F.sum("tc").alias("tt"))
+    B = float(_DSIR_BUCKETS)
+    lw = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (F.log((F.col("tc") + 1.0) / (F.col("tt") + B))
+         - F.log((F.col("rc") + 1.0) / (F.col("tr") + B))).alias("lw"),
+    )
+    return (
+        raw.join(F.broadcast(lw), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.sum("lw"), 4).alias("dsir_logweight"),
+        )
+    )
+
+
+SQL_DSIR_WEIGHTS = f"""
+    WITH t AS ({_TOKENS_SQL}),
+    b AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(term), 1, 6) AS BIGINT)
+                 % {_DSIR_BUCKETS} AS bucket
+          FROM t),
+    tb AS (SELECT b.bucket FROM b
+           JOIN documents USING (doc_id)
+           WHERE lang = '{_DSIR_TARGET_LANG}'),
+    rcnt AS (SELECT bucket, COUNT(*) AS rc FROM b GROUP BY bucket),
+    tcnt AS (SELECT bucket, COUNT(*) AS tc FROM tb GROUP BY bucket),
+    s AS (SELECT rcnt.bucket, rc, coalesce(tc, 0) AS tc
+          FROM rcnt LEFT JOIN tcnt USING (bucket)),
+    tot AS (SELECT SUM(rc) AS tr, SUM(tc) AS tt FROM s),
+    lw AS (SELECT bucket,
+                  ln((tc + 1.0) / (tt + {_DSIR_BUCKETS}.0))
+                  - ln((rc + 1.0) / (tr + {_DSIR_BUCKETS}.0)) AS lw
+           FROM s CROSS JOIN tot)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(lw), 4) AS dsir_logweight
+    FROM b JOIN lw USING (bucket)
+    GROUP BY doc_id
+"""
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return text.quality_score(d).select(
@@ -2219,6 +2303,57 @@ SQL_PAGERANK = (
 """)
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the media-link graph (Kleinberg,
+    JACM 46(5) 1999) — the second classic frontier-prioritization
+    signal next to pagerank: authorities = assets many docs point at,
+    hubs = docs pointing at strong authorities.  2 power iterations,
+    UNNORMALIZED so every intermediate score is an exact integer
+    (auth¹ = in-degree, hub¹ = Σ successor in-degrees, …) and the
+    engines agree bit-exactly; one final max-division + round(6).
+
+    The oracle unrolls the same two iterations as CTEs over the
+    identical lead-window edge derivation, so the iterative Spark loop
+    (analytics/graph.py:hits) is value-checked end-to-end."""
+    from .analytics import graph
+    edges = _media_edges(spark, sf_dir)
+    scores = graph.hits(edges, iterations=2)
+    return scores.select(
+        F.col("node").alias("url"),
+        F.round("auth", 6).alias("auth"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
+SQL_HITS = (
+    "WITH " + _EDGES_SQL + """,
+    n AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+    a1 AS (SELECT n.node, coalesce(s.v, 0.0) AS auth FROM n LEFT JOIN
+           (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS v FROM e GROUP BY dst) s
+           ON n.node = s.dst),
+    h1 AS (SELECT n.node, coalesce(s.v, 0.0) AS hub FROM n LEFT JOIN
+           (SELECT e.src, SUM(a1.auth) AS v FROM e
+            JOIN a1 ON e.dst = a1.node GROUP BY e.src) s
+           ON n.node = s.src),
+    a2 AS (SELECT n.node, coalesce(s.v, 0.0) AS auth FROM n LEFT JOIN
+           (SELECT e.dst, SUM(h1.hub) AS v FROM e
+            JOIN h1 ON e.src = h1.node GROUP BY e.dst) s
+           ON n.node = s.dst),
+    h2 AS (SELECT n.node, coalesce(s.v, 0.0) AS hub FROM n LEFT JOIN
+           (SELECT e.src, SUM(a2.auth) AS v FROM e
+            JOIN a2 ON e.dst = a2.node GROUP BY e.src) s
+           ON n.node = s.src),
+    norm AS (SELECT greatest(MAX(a2.auth), 1.0) AS ma,
+                    greatest(MAX(h2.hub), 1.0) AS mh
+             FROM a2 JOIN h2 ON a2.node = h2.node)
+    SELECT a2.node AS url,
+           ROUND(a2.auth / ma, 6) AS auth,
+           ROUND(h2.hub / mh, 6) AS hub
+    FROM a2 JOIN h2 ON a2.node = h2.node CROSS JOIN norm
+""")
+
+
 def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS hop distance from each host's chain head over the media-link
     graph — the crawl-depth audit ("which pages are reachable within K
@@ -2595,6 +2730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ref_dedup": q_media_ref_dedup,
         "anchor_texts": q_anchor_texts,
         "pagerank": q_pagerank,
+        "hits": q_hits,
+        "dsir_weights": q_dsir_weights,
         "crawl_depth": q_crawl_depth,
         "link_degrees": q_link_degrees,
         "event_windows": q_event_windows,
@@ -2657,6 +2794,8 @@ def oracle_sql() -> dict[str, str]:
         "media_ref_dedup": SQL_MEDIA_REF_DEDUP,
         "anchor_texts": SQL_ANCHOR_TEXTS,
         "pagerank": SQL_PAGERANK,
+        "hits": SQL_HITS,
+        "dsir_weights": SQL_DSIR_WEIGHTS,
         "crawl_depth": SQL_CRAWL_DEPTH,
         "link_degrees": SQL_LINK_DEGREES,
         "repetition_scores": SQL_REPETITION_SCORES,

@@ -95,3 +95,40 @@ def test_bfs_depth_cap_excludes_deeper_nodes(spark):
     got = {r["node"]: r["depth"]
            for r in graph.bfs_depths(e, seeds, max_depth=2).collect()}
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def _ref_hits(nodes, edges, iterations=2):
+    """Dense reference: unnormalized power iteration with hub0 = 1,
+    one final max-division — mirrors graph.hits' contract."""
+    idx = {n: i for i, n in enumerate(nodes)}
+    hub = np.ones(len(nodes))
+    auth = np.zeros(len(nodes))
+    for _ in range(iterations):
+        auth = np.zeros(len(nodes))
+        for s, d in edges:
+            auth[idx[d]] += hub[idx[s]]
+        hub = np.zeros(len(nodes))
+        for s, d in edges:
+            hub[idx[s]] += auth[idx[d]]
+    return (auth / max(auth.max(), 1.0), hub / max(hub.max(), 1.0))
+
+
+def test_hits_matches_dense_reference(spark):
+    # two hubs pointing at a shared authority plus a chain tail;
+    # includes a parallel edge (counted twice) and a pure-sink node
+    pairs = [("h1", "x"), ("h1", "x"), ("h1", "y"), ("h2", "x"),
+             ("h2", "z"), ("y", "z")]
+    nodes = ["h1", "h2", "x", "y", "z"]
+    e = _edges(spark, pairs)
+    want_auth, want_hub = _ref_hits(nodes, pairs)
+    got = {r["node"]: (r["auth"], r["hub"])
+           for r in graph.hits(e, iterations=2).collect()}
+    assert set(got) == set(nodes)
+    for i, n in enumerate(nodes):
+        assert got[n][0] == pytest.approx(want_auth[i], abs=1e-12)
+        assert got[n][1] == pytest.approx(want_hub[i], abs=1e-12)
+
+
+def test_hits_empty_graph_all_zero(spark):
+    e = _edges(spark, [("a", "b")]).filter("src = 'never'")
+    assert graph.hits(e, iterations=2).collect() == []
