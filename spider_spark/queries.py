@@ -1708,6 +1708,51 @@ SQL_DSIR_WEIGHTS = f"""
 """
 
 
+_DSIR_SAMPLE_K = 100
+_DSIR_U_DEN = float(16 ** 6 + 1)  # 6 hex digits + 1 → u strictly in (0,1)
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's selection step (Xie et al. 2023 §2.2): importance
+    resampling WITHOUT replacement via the Gumbel-top-k trick
+    (Kool et al. 2019, "Stochastic Beams and Where to Find Them") —
+    take the K documents maximizing log w_i + Gumbel(0,1) noise.  The
+    noise is derandomized the way a reproducible pipeline does it:
+    u_i = (md5-hash(doc_id) + 1) / (2²⁴ + 1) ∈ (0,1), g_i = −ln(−ln u_i)
+    — a fixed seed per document, so reruns (and the DuckDB oracle)
+    select the identical sample.
+
+    Scale shape: the weight pass is q_dsir_weights (token-stream aggs +
+    broadcast log-ratio table); the selection is orderBy().limit(K) —
+    Spark plans TakeOrderedAndProject (per-partition top-K heaps, one
+    K-row driver merge), never a global sort.  Ranking ties break on
+    doc_id; engine float drift (≤1 ulp in ln) cannot reorder ranks
+    except on exact ties, which the tiebreak absorbs."""
+    w = q_dsir_weights(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("double")
+    g = F.col("dsir_logweight") - F.log(-F.log((h + 1.0) / _DSIR_U_DEN))
+    return (
+        w.select("doc_id", "n_tokens", g.alias("_g"))
+        .orderBy(F.desc("_g"), "doc_id")
+        .limit(_DSIR_SAMPLE_K)
+        .select("doc_id", "n_tokens", F.round("_g", 4).alias("gumbel_key"))
+    )
+
+
+SQL_DSIR_SAMPLE = f"""
+    SELECT doc_id, n_tokens, ROUND(g, 4) AS gumbel_key FROM (
+      SELECT doc_id, n_tokens,
+             dsir_logweight
+             - ln(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                            AS BIGINT) + 1.0) / {_DSIR_U_DEN!r})) AS g
+      FROM ({SQL_DSIR_WEIGHTS}) w)
+    ORDER BY g DESC, doc_id
+    LIMIT {_DSIR_SAMPLE_K}
+"""
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return text.quality_score(d).select(
@@ -2732,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "hits": q_hits,
         "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
         "crawl_depth": q_crawl_depth,
         "link_degrees": q_link_degrees,
         "event_windows": q_event_windows,
@@ -2796,6 +2842,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": SQL_PAGERANK,
         "hits": SQL_HITS,
         "dsir_weights": SQL_DSIR_WEIGHTS,
+        "dsir_sample": SQL_DSIR_SAMPLE,
         "crawl_depth": SQL_CRAWL_DEPTH,
         "link_degrees": SQL_LINK_DEGREES,
         "repetition_scores": SQL_REPETITION_SCORES,
