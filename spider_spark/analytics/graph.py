@@ -184,10 +184,14 @@ def hits(edges: DataFrame, *, iterations: int = 2) -> DataFrame:
     """
     e = edges.select(F.col("src").cast("string").alias("src"),
                      F.col("dst").cast("string").alias("dst")).cache()
+    # nodes is a shuffle-distinct reused by every per-iteration left
+    # join — uncached it re-runs per join and the plan tree grows
+    # quadratically with iterations (bench: 7.6s -> pagerank-class)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .cache()
     )
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
     auth = None
@@ -208,19 +212,23 @@ def hits(edges: DataFrame, *, iterations: int = 2) -> DataFrame:
             nodes.join(out_sum, nodes["node"] == out_sum["src"], "left")
             .select("node", F.coalesce("_v", F.lit(0.0)).alias("hub"))
         )
+    # materialize the final auth⋈hub ONCE (eager localCheckpoint) so
+    # the max-norm aggregation and the output projection both read the
+    # checkpointed rows instead of each re-evaluating the iteration
+    # chain end-to-end
+    scores = auth.join(hub, "node").localCheckpoint()
     # max is 0 only on an empty edge list (all scores 0); guard keeps
     # the division defined and both engines agree on the all-zero output
-    norms = auth.join(hub, "node").agg(
+    norms = scores.agg(
         F.greatest(F.max("auth"), F.lit(1.0)).alias("_ma"),
         F.greatest(F.max("hub"), F.lit(1.0)).alias("_mh"),
     )
     out = (
-        auth.join(hub, "node")
-        .crossJoin(F.broadcast(norms))
+        scores.crossJoin(F.broadcast(norms))
         .select("node",
                 (F.col("auth") / F.col("_ma")).alias("auth"),
                 (F.col("hub") / F.col("_mh")).alias("hub"))
-        .localCheckpoint()
     )
     e.unpersist()
+    nodes.unpersist()
     return out
