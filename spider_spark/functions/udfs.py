@@ -13,13 +13,15 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, IntegerType, StringType, BooleanType
+from pyspark.sql.types import (ArrayType, BooleanType, IntegerType,
+                               StringType, StructField, StructType)
 
 from pyspark.sql.types import LongType
 
 from .cjk import _CJK_RANGES
 from .tokenizer import KEEP_NON_LETTER_MIN_CHARS, STOP_WORDS, tokenize_series
-from .urlnorm import canonicalize_series, edition_series, host_series
+from .urlnorm import (canonicalize_parts_frame, canonicalize_series,
+                      edition_series, host_series)
 
 
 @pandas_udf(ArrayType(StringType()))
@@ -100,6 +102,20 @@ def host_udf(urls: pd.Series) -> pd.Series:
 @pandas_udf(LongType())
 def edition_udf(urls: pd.Series) -> pd.Series:
     return edition_series(urls)
+
+
+_CANON_PARTS_TYPE = StructType([
+    StructField("url", StringType()),
+    StructField("host", StringType()),
+    StructField("edition", LongType()),
+])
+
+
+@pandas_udf(_CANON_PARTS_TYPE)
+def canon_parts_udf(urls: pd.Series) -> pd.DataFrame:
+    """Fused canonicalize+host+edition: one Arrow round-trip and one
+    urlsplit per URL (admission hot path — was three chained UDFs)."""
+    return canonicalize_parts_frame(urls)
 
 
 # ---- JVM-side expression builders -----------------------------------------

@@ -28,23 +28,25 @@ _SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
 _EDITION_RE = re.compile(r"(?:^|&)edition=(-?\d+)(?:&|$)")
 
 
-def canonicalize(url: str) -> str | None:
-    """Canonical form of *url*, or None if malformed."""
+def canonicalize_parts(url: str) -> tuple[str | None, str | None, int | None]:
+    """``(canonical_url, host_incl_port, edition)`` from ONE urlsplit —
+    the fused form the admission hot path uses so host/edition don't
+    re-split the canonical URL; ``(None, None, None)`` if malformed."""
     if url is None:
-        return None
+        return (None, None, None)
     url = url.strip()
     if not url or not _SCHEME_RE.match(url):
-        return None
+        return (None, None, None)
     try:
         parts = urlsplit(url)
     except ValueError:
-        return None
+        return (None, None, None)
     scheme = parts.scheme.lower()
     if scheme not in ("http", "https"):
-        return None
+        return (None, None, None)
     host = (parts.hostname or "").lower()
     if not host:
-        return None
+        return (None, None, None)
     port = parts.port
     if port is not None and not (
         (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
@@ -65,6 +67,7 @@ def canonicalize(url: str) -> str | None:
 
     # edition normalization (USK rule: negative suggested edition → abs)
     query = parts.query
+    ed: int | None = None
     m = _EDITION_RE.search(query)
     if m:
         ed = abs(int(m.group(1)))
@@ -74,8 +77,13 @@ def canonicalize(url: str) -> str | None:
         ]
         query = "&".join([f"edition={ed}"] + rest)
     if query:
-        return f"{scheme}://{host}{path}?{query}"
-    return f"{scheme}://{host}{path}"
+        return (f"{scheme}://{host}{path}?{query}", host, ed)
+    return (f"{scheme}://{host}{path}", host, ed)
+
+
+def canonicalize(url: str) -> str | None:
+    """Canonical form of *url*, or None if malformed."""
+    return canonicalize_parts(url)[0]
 
 
 def extract_edition(url: str) -> int | None:
@@ -111,6 +119,17 @@ def extract_path(url: str) -> str:
 
 def canonicalize_series(urls: pd.Series) -> pd.Series:
     return urls.map(canonicalize)
+
+
+def canonicalize_parts_frame(urls: pd.Series) -> pd.DataFrame:
+    """Fused Arrow-batch form: (url, host, edition) columns from one
+    urlsplit pass per input — the admission hot path's single Python
+    hop (three separate UDFs = three Arrow round-trips + three splits)."""
+    rows = [canonicalize_parts(u) for u in urls]
+    out = pd.DataFrame(rows, columns=["url", "host", "edition"],
+                       index=urls.index)
+    out["edition"] = out["edition"].astype("Int64")
+    return out
 
 
 def host_series(urls: pd.Series) -> pd.Series:

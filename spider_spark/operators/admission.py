@@ -46,9 +46,7 @@ from pyspark.sql import functions as F
 from ..config import SEQ_SHIFT, CrawlConfig
 from ..functions.udfs import (
     badlist_extension_regex,
-    canonicalize_udf,
-    edition_udf,
-    host_udf,
+    canon_parts_udf,
     url_path,
 )
 from . import seenfilter
@@ -86,11 +84,16 @@ def filter_and_canonicalize(
         import re as _re
         kw = "(" + "|".join(_re.escape(k.lower()) for k in config.badlisted_keywords) + ")"
         out = out.filter(~low.rlike(kw))
+    # ONE Arrow round-trip + ONE urlsplit per URL: the fused UDF emits
+    # (url, host, edition) together (was three chained pandas UDFs =
+    # three Python hops over the same column)
     out = (
-        out.withColumn("url", canonicalize_udf("raw_url"))
+        out.withColumn("_c", canon_parts_udf("raw_url"))
+        .withColumn("url", F.col("_c.url"))
+        .withColumn("host", F.col("_c.host"))
+        .withColumn("edition", F.col("_c.edition"))
+        .drop("_c")
         .filter(F.col("url").isNotNull())
-        .withColumn("host", host_udf("url"))
-        .withColumn("edition", edition_udf("url"))
     )
     if robots is not None and config.respect_robots:
         out = (
