@@ -152,10 +152,14 @@ def bfs_depths(edges: DataFrame, sources: DataFrame,
         depths = (
             depths.unionByName(step)
             .groupBy("node").agg(F.min("depth").cast("int").alias("depth"))
+            # depths feeds BOTH branches of the next iteration (union +
+            # join), so uncut lineage doubles per round (2^K leaves);
+            # materializing the node-sized frame each round keeps the
+            # plan linear — the standard iterative-graph trade
+            .localCheckpoint()
         )
-    # materialize the per-node result and release the cached edge list
-    # (see pagerank: the cache must not outlive the call)
-    depths = depths.localCheckpoint()
+    # release the cached edge list (see pagerank: the cache must not
+    # outlive the call; depths is already checkpointed)
     e.unpersist()
     return depths
 
