@@ -105,8 +105,19 @@ def main() -> None:
 
     # one trivial job before the timing loop so the FIRST headline
     # query doesn't absorb executor/codegen/Arrow session init (~4-5s
-    # that belongs to the session, not to topk_per_host)
+    # that belongs to the session, not to topk_per_host), plus one
+    # trivial pandas-UDF job so the FIRST Arrow-path query doesn't
+    # absorb the Python worker pool spawn (~2s that belonged to
+    # robots_filter, the headline's first pandas-UDF user)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql.functions import pandas_udf  # noqa: E402
+    from pyspark.sql.types import LongType  # noqa: E402
+
+    @pandas_udf(LongType())
+    def _warm(s):
+        return s
+
+    spark.range(32).repartition(32).select(_warm("id")).collect()
 
     registry = Q.queries()
     times: dict[str, float] = {}
