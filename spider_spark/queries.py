@@ -2654,6 +2654,55 @@ SQL_STREAM_DEDUP = """
 """
 
 
+_TIER = ("CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'free' "
+         "WHEN 1 THEN 'pro' ELSE 'enterprise' END")
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment under the driver's hash gate: the
+    event stream broadcast-joined to a static user→tier dimension,
+    then watermarked tumbling-window aggregation per (tier,
+    event_type) — streaming/events.stream_enrich run available-now in
+    complete mode.  The static side builds its broadcast once and
+    every micro-batch reuses it; at scale the dimension is the
+    host-config / account table that enriches the fetch-result stream
+    before scheduling.  The oracle is the identical batch join+agg in
+    ANSI SQL."""
+    from spider_spark.streaming.events import run_available_now, stream_enrich
+
+    e = _load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    dim = e.select("user_id").distinct().select(
+        "user_id", F.expr(_TIER).alias("tier"))
+    d = _stage_parquet(
+        e.select("event_id", "ts", "user_id", "event_type", "value"),
+        "stream_enrich_")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double").parquet(d)
+    q = run_available_now(stream_enrich(stream, dim),
+                          "t_stream_enrich_q", output_mode="complete")
+    out = spark.table("t_stream_enrich_q").localCheckpoint()
+    q.stop()
+    return out
+
+
+SQL_STREAM_ENRICH = f"""
+    WITH e AS (
+      SELECT * FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    dim AS (
+      SELECT user_id, {_TIER} AS tier
+      FROM (SELECT DISTINCT user_id FROM e))
+    SELECT CAST(floor(epoch(date_trunc('hour', e.ts))) AS BIGINT) AS hour_epoch,
+           d.tier, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(e.value) AS DOUBLE), 6) AS sum_value
+    FROM e JOIN dim d USING (user_id)
+    GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational breadth (TPC-H-ish shapes over the star schema)
 
@@ -2784,6 +2833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "politeness_gate": q_politeness_gate,
         "stream_dedup": q_stream_dedup,
+        "stream_enrich": q_stream_enrich,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
     }
@@ -2853,6 +2903,7 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": SQL_EVENT_SESSIONS,
         "politeness_gate": SQL_POLITENESS_GATE,
         "stream_dedup": SQL_STREAM_DEDUP,
+        "stream_enrich": SQL_STREAM_ENRICH,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_customers": SQL_TOP_CUSTOMERS,
     }

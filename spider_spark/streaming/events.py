@@ -126,6 +126,38 @@ def stream_event_dedup(
     )
 
 
+def stream_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream to a small
+    static dimension (broadcast — the static side is planned as a
+    broadcast build once and reused by every micro-batch, never
+    re-shuffled), then tumbling 1-hour windowed aggregation per
+    (tier, event_type).  This is the canonical Structured Streaming
+    enrichment shape — the crawl analog is joining the fetch-result
+    stream to the host-config dimension before scheduling.
+
+    Returns the aggregated streaming frame; run with
+    ``run_available_now(..., output_mode='complete')``."""
+    enriched = (
+        stream.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "user_id")
+    )
+    return (
+        enriched.groupBy(F.window("ts", "1 hour"), "tier", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value").cast("double"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
+            "tier", "event_type", "n", "sum_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # custom stateful operator: per-host politeness token bucket
 

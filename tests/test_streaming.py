@@ -14,6 +14,7 @@ from spider_spark.streaming.events import (
     stream_event_dedup,
     stream_event_sessions,
     stream_event_windows,
+    stream_enrich,
 )
 
 
@@ -173,3 +174,38 @@ def test_edition_stream_forces_requeue(spark, corpus_dir, corpus, crawl_config,
     row = eng.frontier().filter(F.col("url") == done["url"]).first()
     assert row["status"] == "QUEUED"
     assert row["comment"] == "USK found edition"
+
+
+def test_stream_enrich_matches_batch_join(spark, events_dir):
+    # static dim: user tier; streamed enrichment must equal the batch
+    # broadcast join + windowed agg over the same rows
+    ev = spark.read.parquet(events_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    dim = ev.select("user_id").distinct().select(
+        "user_id",
+        F.when(F.col("user_id") % 3 == 0, "free")
+        .when(F.col("user_id") % 3 == 1, "pro")
+        .otherwise("enterprise").alias("tier"))
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string").parquet(events_dir)
+    q = run_available_now(stream_enrich(stream, dim), "t_enrich_q",
+                          output_mode="complete")
+    streamed = {
+        (r["hour_epoch"], r["tier"], r["event_type"]):
+            (r["n"], round(r["sum_value"], 6))
+        for r in spark.table("t_enrich_q").collect()
+    }
+    q.stop()
+    batch = {
+        (r["hour_epoch"], r["tier"], r["event_type"]):
+            (r["n"], round(r["sum_value"], 6))
+        for r in ev.join(dim, "user_id")
+        .groupBy(F.unix_timestamp(F.date_trunc("hour", "ts"))
+                 .alias("hour_epoch"), "tier", "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value").cast("double"), 6).alias("sum_value"))
+        .collect()
+    }
+    assert streamed == batch
+    assert len({k[1] for k in streamed}) == 3  # all three tiers present
