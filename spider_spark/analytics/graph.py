@@ -198,7 +198,9 @@ def hits(edges: DataFrame, *, iterations: int = 2) -> DataFrame:
         .cache()
     )
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
-    auth = None
+    # iterations=0 degenerates to the uniform baseline (hub ≡ 1,
+    # auth ≡ 0) instead of crashing on a None frame
+    auth = nodes.select("node", F.lit(0.0).alias("auth"))
     for _ in range(iterations):
         in_sum = (
             e.join(hub, e["src"] == hub["node"])

@@ -20,8 +20,7 @@ from pyspark.sql.types import LongType
 
 from .cjk import _CJK_RANGES
 from .tokenizer import KEEP_NON_LETTER_MIN_CHARS, STOP_WORDS, tokenize_series
-from .urlnorm import (canonicalize_parts_frame, canonicalize_series,
-                      edition_series, host_series)
+from .urlnorm import canonicalize_parts_frame
 
 
 @pandas_udf(ArrayType(StringType()))
@@ -87,21 +86,6 @@ def tokens_col(text: Column) -> Column:
     The twin stays for oracle-SQL parity tests; the hot path is the
     vectorized UDF — which is also what the input_hint mandates."""
     return tokenize_udf(text)
-
-
-@pandas_udf(StringType())
-def canonicalize_udf(urls: pd.Series) -> pd.Series:
-    return canonicalize_series(urls)
-
-
-@pandas_udf(StringType())
-def host_udf(urls: pd.Series) -> pd.Series:
-    return host_series(urls)
-
-
-@pandas_udf(LongType())
-def edition_udf(urls: pd.Series) -> pd.Series:
-    return edition_series(urls)
 
 
 _CANON_PARTS_TYPE = StructType([

@@ -39,15 +39,18 @@ def canonicalize_parts(url: str) -> tuple[str | None, str | None, int | None]:
         return (None, None, None)
     try:
         parts = urlsplit(url)
+        scheme = parts.scheme.lower()
+        if scheme not in ("http", "https"):
+            return (None, None, None)
+        host = (parts.hostname or "").lower()
+        if not host:
+            return (None, None, None)
+        # parts.port is a LAZY property: an out-of-range or non-numeric
+        # port raises here, not at urlsplit — keep it inside the guard
+        # so 'http://x:99999/' is malformed, not a job-killing exception
+        port = parts.port
     except ValueError:
         return (None, None, None)
-    scheme = parts.scheme.lower()
-    if scheme not in ("http", "https"):
-        return (None, None, None)
-    host = (parts.hostname or "").lower()
-    if not host:
-        return (None, None, None)
-    port = parts.port
     if port is not None and not (
         (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
     ):
@@ -117,10 +120,6 @@ def extract_path(url: str) -> str:
 
 # ---- Arrow-batch wrappers --------------------------------------------------
 
-def canonicalize_series(urls: pd.Series) -> pd.Series:
-    return urls.map(canonicalize)
-
-
 def canonicalize_parts_frame(urls: pd.Series) -> pd.DataFrame:
     """Fused Arrow-batch form: (url, host, edition) columns from one
     urlsplit pass per input — the admission hot path's single Python
@@ -130,11 +129,3 @@ def canonicalize_parts_frame(urls: pd.Series) -> pd.DataFrame:
                        index=urls.index)
     out["edition"] = out["edition"].astype("Int64")
     return out
-
-
-def host_series(urls: pd.Series) -> pd.Series:
-    return urls.map(extract_host)
-
-
-def edition_series(urls: pd.Series) -> pd.Series:
-    return urls.map(extract_edition).astype("Int64")

@@ -1644,25 +1644,34 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     look target-like score high and survive importance resampling.
     Laplace-smoothed over a B=1024 hashed vocabulary.
 
-    Scale shape: two token passes (raw + the lang-filtered target — the
-    lang predicate pushes into the parquet scan, so the target pass
-    reads only target row groups), each collapsing to a ≤B-row bucket
-    frequency table via map-side-combined hash agg; the per-bucket
-    log-ratio table broadcasts (B rows) and the per-doc score is one
-    hash agg over the raw token stream.  Nothing wider than the token
-    stream ever shuffles.  The bucket hash is the first 6 hex digits of
-    md5 mod B — portable (DuckDB computes the identical value), unlike
-    xxhash64/murmur which have no DuckDB twin.  Rounded to 4 decimals:
-    the engines sum per-token doubles in different orders (same
-    headroom argument as unigram_xent)."""
+    Scale shape: the corpus is tokenized ONCE and immediately
+    collapsed to a per-(doc, bucket) count frame (≤ docs×B rows, far
+    narrower than the token stream); the raw bucket-frequency table,
+    the per-doc totals, AND the per-doc score all derive from that one
+    frame, so the dominant explode-over-text cost is paid a single
+    time.  The lang-filtered target pass tokenizes only target docs
+    (the lang predicate pushes into the parquet scan).  The per-bucket
+    log-ratio table broadcasts (B rows).  The bucket hash is the first
+    6 hex digits of md5 mod B — portable (DuckDB computes the
+    identical value), unlike xxhash64/murmur which have no DuckDB
+    twin.  Rounded to 4 decimals: the engines sum per-token doubles in
+    different orders (same headroom argument as unigram_xent); the
+    per-doc sum Σ cnt·lw is term-for-term equal to the per-token sum
+    because every token in a bucket contributes the identical lw."""
     d = _load(spark, sf_dir, "documents")
     bucket = (
         F.conv(F.substring(F.md5(F.col("term")), 1, 6), 16, 10)
         .cast("long") % _DSIR_BUCKETS
     ).alias("bucket")
-    raw = _tokens_of(d).select("doc_id", bucket)
+    # one tokenization pass -> per-(doc, bucket) counts, localCheckpoint
+    # so the two consumers below don't re-run the explode
+    db = (
+        _tokens_of(d).select("doc_id", bucket)
+        .groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
     tgt = _tokens_of(d.filter(F.col("lang") == _DSIR_TARGET_LANG)).select(bucket)
-    rc = raw.groupBy("bucket").agg(F.count("*").alias("rc"))
+    rc = db.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
     tc = tgt.groupBy("bucket").agg(F.count("*").alias("tc"))
     stats = rc.join(tc, "bucket", "left").select(
         "bucket", "rc", F.coalesce("tc", F.lit(0)).alias("tc"))
@@ -1674,11 +1683,11 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
          - F.log((F.col("rc") + 1.0) / (F.col("tr") + B))).alias("lw"),
     )
     return (
-        raw.join(F.broadcast(lw), "bucket")
+        db.join(F.broadcast(lw), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.round(F.sum("lw"), 4).alias("dsir_logweight"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("cnt") * F.col("lw")), 4).alias("dsir_logweight"),
         )
     )
 
@@ -1689,10 +1698,11 @@ SQL_DSIR_WEIGHTS = f"""
                  CAST('0x' || substr(md5(term), 1, 6) AS BIGINT)
                  % {_DSIR_BUCKETS} AS bucket
           FROM t),
+    db AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
     tb AS (SELECT b.bucket FROM b
            JOIN documents USING (doc_id)
            WHERE lang = '{_DSIR_TARGET_LANG}'),
-    rcnt AS (SELECT bucket, COUNT(*) AS rc FROM b GROUP BY bucket),
+    rcnt AS (SELECT bucket, SUM(cnt) AS rc FROM db GROUP BY bucket),
     tcnt AS (SELECT bucket, COUNT(*) AS tc FROM tb GROUP BY bucket),
     s AS (SELECT rcnt.bucket, rc, coalesce(tc, 0) AS tc
           FROM rcnt LEFT JOIN tcnt USING (bucket)),
@@ -1701,9 +1711,9 @@ SQL_DSIR_WEIGHTS = f"""
                   ln((tc + 1.0) / (tt + {_DSIR_BUCKETS}.0))
                   - ln((rc + 1.0) / (tr + {_DSIR_BUCKETS}.0)) AS lw
            FROM s CROSS JOIN tot)
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(SUM(lw), 4) AS dsir_logweight
-    FROM b JOIN lw USING (bucket)
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           ROUND(SUM(cnt * lw), 4) AS dsir_logweight
+    FROM db JOIN lw USING (bucket)
     GROUP BY doc_id
 """
 

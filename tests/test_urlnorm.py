@@ -1,7 +1,12 @@
 """URL canonicalizer spec tests (graft of Spider.java:170-179 USK rules)."""
 
+import pandas as pd
+import pytest
+
 from spider_spark.functions.urlnorm import (
     canonicalize,
+    canonicalize_parts,
+    canonicalize_parts_frame,
     extract_edition,
     extract_host,
     extract_path,
@@ -91,3 +96,58 @@ def test_extract_urls_col_matches_python(spark):
     plan = df.select(extract_urls_col(F.col("text")).alias("u")) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan, plan
+
+
+_PARITY_URLS = [
+    "HTTP://Example.COM/Path",
+    "http://example.com:80/a",
+    "https://example.com:443/a",
+    "http://example.com:8080/a",
+    "http://h.org/a/b#frag",
+    "http://h.org//a///b",
+    "http://h.org/a/./b/../c",
+    "http://h.org",
+    "http://h.org/../..",
+    "http://h.org/site?edition=-5",
+    "http://h.org/site?edition=7",
+    "http://h.org/site?x=1&edition=-2",
+    "HTTP://A.com:80//x/./y/../z?edition=-3#f",
+    "https://b.org/q",
+    "http://c.net:9999/a//b",
+    "not a url",
+    "ftp://h.org/x",
+    "http:///nopath",
+    "",
+    None,
+]
+
+
+@pytest.mark.parametrize("u", _PARITY_URLS, ids=repr)
+def test_fused_parts_match_standalone_extractors(u):
+    # the fused hot path must agree field-for-field with canonicalize +
+    # extract_host/extract_edition applied to the canonical URL
+    url, host, edition = canonicalize_parts(u)
+    assert url == canonicalize(u)
+    if url is None:
+        assert host is None and edition is None
+    else:
+        assert host == extract_host(url)
+        assert edition == extract_edition(url)
+
+
+def test_fused_parts_malformed_port_is_none_not_exception():
+    # parts.port raises lazily; the fused path must classify these as
+    # malformed instead of blowing up the admission task
+    for u in ("http://example.com:99999/x", "http://example.com:8o8o/"):
+        assert canonicalize_parts(u) == (None, None, None)
+        assert canonicalize(u) is None
+
+
+def test_parts_frame_shapes_and_nulls():
+    s = pd.Series(["http://a.com:8080/x?edition=-2", "junk", None])
+    out = canonicalize_parts_frame(s)
+    assert list(out.columns) == ["url", "host", "edition"]
+    assert out.loc[0, "url"] == "http://a.com:8080/x?edition=2"
+    assert out.loc[0, "host"] == "a.com:8080"
+    assert out.loc[0, "edition"] == 2
+    assert out.loc[1, "url"] is None and out.loc[2, "url"] is None
