@@ -250,3 +250,84 @@ def ivf_topk(
         .select("query_id", "neighbor_id", "rank",
                 F.col("cosine").cast("double").alias("cosine"))
     )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column: returns the
+    final (id, cluster) assignment after ``iters`` iterations.
+
+    This is the fully-distributed complement to ``ivf_build`` (which
+    trains on a driver-side sample): here every assignment pass is one
+    narrow, shuffle-free scan — per-centroid squared-L2 distances are
+    JVM ``zip_with``/``aggregate`` expressions over broadcast-literal
+    centroids, argmin is ``array_position(dists, array_min(dists))``
+    (ties break to the lowest cluster id) — and every update pass is
+    one ``groupBy(cluster)`` with per-dimension ``avg``, i.e. a single
+    map-side-combined shuffle of k×dim partial sums.  Only the k×dim
+    centroid matrix ever reaches the driver (k rows per iteration),
+    the same collect-the-tiny-state pattern as pagerank's vertex
+    count: at 10^10 vectors the per-iteration cost is one scan + one
+    k-row shuffle, and nothing driver-side grows with the corpus.
+
+    Determinism contract (shared with the DuckDB oracle twin): init
+    centroids are the first k vectors by id; every centroid (including
+    init) is rounded to 6 decimals before use, and distances are
+    rounded to 9 decimals before the argmin, so sum-order float drift
+    (JVM left-fold vs SQL SUM) can never flip an assignment.
+
+    Empty clusters keep their previous centroid (no re-seeding), so a
+    run is a pure function of (corpus, k, iters).
+    """
+    pts = corpus.select(
+        F.col(id_col).alias("_kid"), F.col(vec_col).cast("array<double>").alias("_kv")
+    )
+    pts = pts.persist()
+    try:
+        seed_rows = pts.orderBy("_kid").limit(k).collect()
+        dim = len(seed_rows[0]["_kv"])
+        cent = [[round(float(x), 6) for x in r["_kv"]] for r in seed_rows]
+
+        def assign_col(cent):
+            dists = [
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("_kv"),
+                            F.array(*[F.lit(c) for c in cj]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    9,
+                )
+                for cj in cent
+            ]
+            darr = F.array(*dists)
+            return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+        assigned = None
+        for it in range(iters):
+            assigned = pts.withColumn("cluster", assign_col(cent))
+            if it == iters - 1:
+                break
+            means = (
+                assigned.groupBy("cluster")
+                .agg(*[F.avg(F.element_at("_kv", i + 1)).alias(f"m{i}")
+                       for i in range(dim)])
+                .collect()
+            )
+            new_cent = list(cent)  # empty cluster -> keep old centroid
+            for r in means:
+                new_cent[r["cluster"]] = [round(float(r[f"m{i}"]), 6)
+                                          for i in range(dim)]
+            cent = new_cent
+        return assigned.select(F.col("_kid").alias(id_col), "cluster")
+    finally:
+        pts.unpersist()

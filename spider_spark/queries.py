@@ -1242,6 +1242,68 @@ SQL_SEMDEDUP = """
 """
 
 
+def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means assignment (k=8, 2 iterations) over
+    the embeddings table — the fully-distributed centroid-training
+    pass behind IVF cell maps and SemDeDup cluster blocking.  Each
+    iteration is one shuffle-free scan (JVM zip_with distances against
+    literal centroids, argmin via array_position) plus one k-row
+    groupBy; only the k x dim centroid matrix reaches the driver.  The
+    DuckDB twin unrolls both iterations as CTEs over (vec_id, dim,
+    value) triples, so the iterative loop is value-checked end-to-end
+    like pagerank's."""
+    e = _load(spark, sf_dir, "embeddings")
+    return similarity.kmeans_lloyd(e, k=8, iters=2).orderBy("vec_id")
+
+
+SQL_KMEANS_EMBED = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, i, list_extract(emb, i) AS v
+      FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+    ),
+    seeds AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+      FROM e ORDER BY vec_id LIMIT 8
+    ),
+    c0 AS (
+      SELECT s.cluster, d.i, round(d.v, 6) AS cv
+      FROM seeds s JOIN dims d USING (vec_id)
+    ),
+    d1 AS (
+      SELECT dm.vec_id, c.cluster,
+             round(sum((dm.v - c.cv) * (dm.v - c.cv)), 9) AS dist
+      FROM dims dm JOIN c0 c USING (i) GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a.cluster, d.i, round(avg(d.v), 6) AS cv
+      FROM a1 a JOIN dims d USING (vec_id) GROUP BY 1, 2
+    ),
+    c1f AS (
+      SELECT c0.cluster, c0.i, coalesce(c1.cv, c0.cv) AS cv
+      FROM c0 LEFT JOIN c1 ON c0.cluster = c1.cluster AND c0.i = c1.i
+    ),
+    d2 AS (
+      SELECT dm.vec_id, c.cluster,
+             round(sum((dm.v - c.cv) * (dm.v - c.cv)), 9) AS dist
+      FROM dims dm JOIN c1f c USING (i) GROUP BY 1, 2
+    )
+    SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+      FROM d2) WHERE rn = 1
+    ORDER BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-pipeline: text analysis
 
@@ -2813,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "semdedup": q_semdedup,
+        "kmeans_embed": q_kmeans_embed,
         "token_counts": q_token_counts,
         "dataset_split": q_dataset_split,
         "dataset_balance": q_dataset_balance,
@@ -2884,6 +2947,7 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh / ann_ivf: rows-only (approximate by design)
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "semdedup": SQL_SEMDEDUP,
+        "kmeans_embed": SQL_KMEANS_EMBED,
         "token_counts": SQL_TOKEN_COUNTS,
         "dataset_split": SQL_DATASET_SPLIT,
         "dataset_balance": SQL_DATASET_BALANCE,

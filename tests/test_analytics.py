@@ -946,3 +946,39 @@ def test_cosine_expr_float64_bit_parity(spark):
 
     for (i, j), c in got.items():
         assert c == ref(vecs[i], vecs[j]), (i, j)
+
+
+def test_kmeans_lloyd_matches_numpy_replica(spark, sf_dir):
+    """kmeans_lloyd's distributed assignment must reproduce a pure
+    numpy Lloyd run under the same determinism contract (first-k init,
+    centroids rounded to 6dp, distances rounded to 9dp, ties to the
+    lowest cluster id) — the same contract the DuckDB unrolled-CTE
+    oracle twin checks end-to-end."""
+    import pandas as pd
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = (similarity.kmeans_lloyd(e, k=8, iters=2)
+           .orderBy("vec_id").toPandas())
+
+    pdf = e.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    x = np.vstack([np.asarray(v, dtype=np.float64)
+                   for v in pdf["embedding"]])
+    cent = np.round(x[:8], 6)
+    assign = None
+    for it in range(2):
+        d = np.round(((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1), 9)
+        assign = d.argmin(1)  # argmin ties -> lowest index
+        if it == 1:
+            break
+        new = cent.copy()
+        for c in range(8):
+            m = assign == c
+            if m.any():
+                new[c] = np.round(x[m].mean(0), 6)
+        cent = new
+
+    ref = pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                        "cluster": assign.astype("int32")})
+    assert got["vec_id"].tolist() == ref["vec_id"].tolist()
+    assert got["cluster"].tolist() == ref["cluster"].tolist()
+    assert got["cluster"].nunique() > 1  # non-degenerate clustering
