@@ -77,6 +77,7 @@ HEADLINE = [
     "hits",
     "dsir_weights",
     "semdedup",
+    "kmeans_embed",
 ]
 
 CRAWL_ROUNDS = int(os.environ.get("SPIDER_BENCH_ROUNDS", "4"))

@@ -412,3 +412,115 @@ def _xxh64(data: bytes, seed: int = 0) -> int:
     h = (h * _P3) & _M
     h ^= h >> 32
     return h
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016) — distributed pair
+# counting + merge learning over the corpus word-frequency table.
+
+def bpe_word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over lowercase ASCII-alpha words — the classic BPE
+    training input.  One explode + one map-side-combined groupBy; the
+    result is the DISTINCT-word table, which is what every later BPE
+    stage iterates over (≪ corpus size: vocabulary grows ~Heaps' law,
+    so at 100 TB this is ~10^8 rows while the corpus is ~10^11)."""
+    return (
+        docs.select(F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+    )
+
+
+def bpe_pair_counts(word_counts: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts over initial character sequences
+    (with the '</w>' terminal symbol), weighted by word frequency —
+    iteration 0 of BPE training, fully JVM-side: split to chars,
+    posexplode, one groupBy.  Columns (lhs, rhs, pair_count)."""
+    d = word_counts.withColumn("chars", F.split("word", ""))
+    p = d.select(
+        "cnt", "chars",
+        F.posexplode("chars").alias("i", "lhs"),
+    ).withColumn(
+        "rhs",
+        F.when(F.col("i") == F.size("chars") - 1, F.lit("</w>"))
+        .otherwise(F.element_at("chars", F.col("i") + 2)),
+    )
+    return p.groupBy("lhs", "rhs").agg(F.sum("cnt").alias("pair_count"))
+
+
+def bpe_learn(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges distributed: per
+    iteration, pair counts are one groupBy over the distinct-word
+    table (map-side combined), the argmax pair is a 1-row collect
+    (count desc, then lexicographic — fully deterministic), and the
+    greedy left-to-right merge is a vectorized Arrow UDF over the
+    symbol-sequence column.  Driver state is the merge list only.
+
+    Returns (rank, lhs, rhs, pair_count) — rank 1 = first merge.
+    Greedy-replace semantics match Sennrich's reference: counting
+    sees every adjacent occurrence; merging replaces non-overlapping
+    occurrences left-to-right ("aaa" counts (a,a) twice, merges once).
+    """
+    from pyspark.sql.types import ArrayType, StringType
+
+    spark = docs.sparkSession
+    wc = bpe_word_counts(docs, text_col)
+    seqs = wc.select(
+        "cnt",
+        F.concat(F.split("word", ""), F.array(F.lit("</w>"))).alias("seq"),
+    ).persist()
+    try:
+        merges = []
+        for rank in range(1, n_merges + 1):
+            pairs = (
+                seqs.select(
+                    "cnt",
+                    F.posexplode("seq").alias("i", "lhs"),
+                    F.try_element_at("seq", F.col("i") + 2).alias("rhs"),
+                )
+                .filter(F.col("rhs").isNotNull())
+                .groupBy("lhs", "rhs").agg(F.sum("cnt").alias("pair_count"))
+            )
+            best = pairs.orderBy(
+                F.col("pair_count").desc(), "lhs", "rhs"
+            ).limit(1).collect()
+            if not best:
+                break
+            b = best[0]
+            merges.append((rank, b["lhs"], b["rhs"], int(b["pair_count"])))
+            la, lb = b["lhs"], b["rhs"]
+
+            # no hints (stringized annotations break pandas_udf
+            # inference under `from __future__ import annotations`);
+            # la/lb bound as defaults so a lineage recompute after the
+            # loop rebinds them still merges THIS iteration's pair
+            def _merge(col, la=la, lb=lb):
+
+                out = []
+                for seq in col:
+                    res, i, n = [], 0, len(seq)
+                    while i < n:
+                        if i + 1 < n and seq[i] == la and seq[i + 1] == lb:
+                            res.append(la + lb)
+                            i += 2
+                        else:
+                            res.append(seq[i])
+                            i += 1
+                    out.append(res)
+                return pd.Series(out)
+
+            merge_udf = pandas_udf(_merge, ArrayType(StringType()))
+            new_seqs = seqs.select("cnt", merge_udf("seq").alias("seq")).persist()
+            new_seqs.count()  # materialize before dropping the parent
+            seqs.unpersist()
+            seqs = new_seqs
+        return spark.createDataFrame(
+            merges, "rank int, lhs string, rhs string, pair_count bigint"
+        )
+    finally:
+        seqs.unpersist()

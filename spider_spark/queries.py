@@ -1923,6 +1923,54 @@ SQL_PII_SCRUB = f"""
 """
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training iteration 0: adjacent character-pair counts (with
+    the '</w>' terminal symbol) over the corpus word-frequency table,
+    top-50 by (count desc, lhs, rhs).  The whole pass is JVM-side —
+    regexp word explode, map-side-combined word counts, char
+    posexplode, one pair groupBy — i.e. tokenizer training's hot
+    first stage expressed as two shuffles over the DISTINCT-word
+    table, not the corpus."""
+    d = _load(spark, sf_dir, "documents")
+    wc = text.bpe_word_counts(d)
+    return (
+        text.bpe_pair_counts(wc)
+        .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+        .limit(50)
+    )
+
+
+SQL_BPE_PAIRS = """
+    WITH w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    ),
+    wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+    p AS (
+      SELECT substr(word, i, 1) AS lhs,
+             CASE WHEN i = len(word) THEN '</w>'
+                  ELSE substr(word, i + 1, 1) END AS rhs,
+             cnt
+      FROM wc CROSS JOIN LATERAL
+           (SELECT unnest(range(1, len(word) + 1)) AS i) t
+    )
+    SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS pair_count
+    FROM p GROUP BY 1, 2
+    ORDER BY pair_count DESC, lhs, rhs LIMIT 50
+"""
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 learned BPE merges (Sennrich et al. 2016) — rows-only:
+    the greedy left-to-right merge loop is iterative and not ANSI-SQL
+    expressible; the merge list is pinned against a pure-Python
+    reference implementation in tests/test_analytics.py, and the
+    iteration-0 pair counts it starts from are the oracle-checked
+    bpe_pairs query."""
+    d = _load(spark, sf_dir, "documents")
+    return text.bpe_learn(d, n_merges=8)
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 bigram collocations by PMI (Church & Hanks) through
     `text.collocations`: pair counts >= 5, ranked by the exact-product
@@ -2888,6 +2936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "filter_decisions": q_filter_decisions,
         "unigram_xent": q_unigram_xent,
+        "bpe_pairs": q_bpe_pairs,
+        "bpe_merges": q_bpe_merges,
         "collocations": q_collocations,
         "repetition_scores": q_repetition_scores,
         "corpus_profile": q_corpus_profile,
@@ -2960,6 +3010,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": SQL_PII_SCRUB,
         "filter_decisions": SQL_FILTER_DECISIONS,
         "unigram_xent": SQL_UNIGRAM_XENT,
+        "bpe_pairs": SQL_BPE_PAIRS,
+        # bpe_merges: rows-only (iterative greedy merge loop; pinned
+        # against a pure-Python Sennrich reference in pytest)
         "collocations": SQL_COLLOCATIONS,
         "media_ref_dedup": SQL_MEDIA_REF_DEDUP,
         "anchor_texts": SQL_ANCHOR_TEXTS,

@@ -982,3 +982,46 @@ def test_kmeans_lloyd_matches_numpy_replica(spark, sf_dir):
     assert got["vec_id"].tolist() == ref["vec_id"].tolist()
     assert got["cluster"].tolist() == ref["cluster"].tolist()
     assert got["cluster"].nunique() > 1  # non-degenerate clustering
+
+
+def test_bpe_learn_matches_sennrich_reference(spark, sf_dir):
+    """bpe_learn's distributed merge loop must reproduce a pure-Python
+    Sennrich-style BPE trainer (count every adjacent occurrence, merge
+    non-overlapping left-to-right, argmax ties to lexicographic pair)
+    run on the same word-frequency table."""
+    import re
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [(r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+           for r in text.bpe_learn(docs, n_merges=6).collect()]
+
+    wc = Counter()
+    for (t,) in docs.select("text").collect():
+        wc.update(re.findall(r"[a-z]+", (t or "").lower()))
+    seqs = {w: tuple(w) + ("</w>",) for w in wc}
+
+    ref = []
+    for rank in range(1, 7):
+        pc = Counter()
+        for w, seq in seqs.items():
+            n = wc[w]
+            for a, b in zip(seq, seq[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        (la, lb), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        ref.append((rank, la, lb, cnt))
+        out = {}
+        for w, seq in seqs.items():
+            res, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == la and seq[i + 1] == lb:
+                    res.append(la + lb)
+                    i += 2
+                else:
+                    res.append(seq[i])
+                    i += 1
+            out[w] = tuple(res)
+        seqs = out
+    assert got == ref
