@@ -78,6 +78,7 @@ HEADLINE = [
     "dsir_weights",
     "semdedup",
     "kmeans_embed",
+    "bpe_pairs",
 ]
 
 CRAWL_ROUNDS = int(os.environ.get("SPIDER_BENCH_ROUNDS", "4"))
