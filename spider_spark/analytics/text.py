@@ -524,3 +524,65 @@ def bpe_learn(
         )
     finally:
         seqs.unpersist()
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token counts under a learned merge list —
+    the apply side of ``bpe_learn``.  The encode runs ONCE PER
+    DISTINCT WORD (an Arrow UDF over the vocabulary table, merge list
+    broadcast by closure), then documents get their counts back via
+    one equi-join of their exploded words against the tiny
+    (word, n_sym) map and a per-doc sum: at 100 TB that is ~10^8
+    encode calls instead of ~10^11, and the join's build side is the
+    vocabulary, which AQE broadcasts when it measures small.
+
+    Returns (id_col, bpe_tokens) — deterministic given (corpus,
+    merges); pinned against a pure-Python reference in pytest
+    (greedy left-to-right merge application in learned rank order,
+    matching bpe_learn/Sennrich semantics).
+    """
+    from pyspark.sql.types import IntegerType
+
+    mlist = list(merges)
+
+    def _encode(col, mlist=mlist):
+        cache = {}
+        out = []
+        for w in col:
+            n = cache.get(w)
+            if n is None:
+                seq = list(w) + ["</w>"]
+                for la, lb in mlist:
+                    res, i, ln = [], 0, len(seq)
+                    while i < ln:
+                        if i + 1 < ln and seq[i] == la and seq[i + 1] == lb:
+                            res.append(la + lb)
+                            i += 2
+                        else:
+                            res.append(seq[i])
+                            i += 1
+                    seq = res
+                n = cache[w] = len(seq)
+            out.append(n)
+        return pd.Series(out)
+
+    encode_udf = pandas_udf(_encode, IntegerType())
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"
+        )).alias("word"),
+    )
+    occ = words.groupBy(id_col, "word").agg(F.count("*").alias("occ"))
+    vocab = occ.select("word").distinct().withColumn("n_sym", encode_udf("word"))
+    return (
+        occ.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("occ") * F.col("n_sym")).alias("bpe_tokens"))
+    )

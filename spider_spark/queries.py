@@ -1971,6 +1971,19 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_learn(d, n_merges=8)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the first 6 learned BPE merges
+    — the apply side of tokenizer training, rows-only (the merge loop
+    + greedy encode are iterative, not ANSI-SQL): encode runs once per
+    DISTINCT word, documents re-join their counts (see
+    text.bpe_encode).  Pinned against a pure-Python learn+encode
+    reference in tests/test_analytics.py."""
+    d = _load(spark, sf_dir, "documents")
+    merges = [(r["lhs"], r["rhs"])
+              for r in text.bpe_learn(d, n_merges=6).collect()]
+    return text.bpe_encode(d, merges).orderBy("doc_id")
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 bigram collocations by PMI (Church & Hanks) through
     `text.collocations`: pair counts >= 5, ranked by the exact-product
@@ -2938,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_xent": q_unigram_xent,
         "bpe_pairs": q_bpe_pairs,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "collocations": q_collocations,
         "repetition_scores": q_repetition_scores,
         "corpus_profile": q_corpus_profile,
@@ -3011,8 +3025,9 @@ def oracle_sql() -> dict[str, str]:
         "filter_decisions": SQL_FILTER_DECISIONS,
         "unigram_xent": SQL_UNIGRAM_XENT,
         "bpe_pairs": SQL_BPE_PAIRS,
-        # bpe_merges: rows-only (iterative greedy merge loop; pinned
-        # against a pure-Python Sennrich reference in pytest)
+        # bpe_merges / bpe_encode: rows-only (iterative greedy merge
+        # loop; pinned against a pure-Python Sennrich reference in
+        # pytest)
         "collocations": SQL_COLLOCATIONS,
         "media_ref_dedup": SQL_MEDIA_REF_DEDUP,
         "anchor_texts": SQL_ANCHOR_TEXTS,

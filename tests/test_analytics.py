@@ -1025,3 +1025,45 @@ def test_bpe_learn_matches_sennrich_reference(spark, sf_dir):
             out[w] = tuple(res)
         seqs = out
     assert got == ref
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    """bpe_encode (distinct-word encode + re-join) must equal a pure
+    Python learn-then-encode over the same corpus: per-doc token count
+    = sum over word occurrences of the merged symbol-sequence length."""
+    import re
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = [(r["lhs"], r["rhs"])
+              for r in text.bpe_learn(docs, n_merges=4).collect()]
+    got = {r["doc_id"]: r["bpe_tokens"]
+           for r in text.bpe_encode(docs, merges).collect()}
+
+    def encode_len(word):
+        seq = list(word) + ["</w>"]
+        for la, lb in merges:
+            res, i, n = [], 0, len(seq)
+            while i < n:
+                if i + 1 < n and seq[i] == la and seq[i + 1] == lb:
+                    res.append(la + lb)
+                    i += 2
+                else:
+                    res.append(seq[i])
+                    i += 1
+            seq = res
+        return len(seq)
+
+    ref = {}
+    cache = {}
+    for doc_id, t in docs.select("doc_id", "text").collect():
+        ws = re.findall(r"[a-z]+", (t or "").lower())
+        if not ws:
+            continue
+        n = 0
+        for w in ws:
+            if w not in cache:
+                cache[w] = encode_len(w)
+            n += cache[w]
+        ref[doc_id] = n
+    assert got == ref
