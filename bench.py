@@ -79,6 +79,8 @@ HEADLINE = [
     "semdedup",
     "kmeans_embed",
     "bpe_pairs",
+    "bpe_encode",
+    "minhash_portable",
 ]
 
 CRAWL_ROUNDS = int(os.environ.get("SPIDER_BENCH_ROUNDS", "4"))

@@ -223,6 +223,129 @@ def minhash_near_duplicates(
     )
 
 
+_PORTABLE_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def portable_perm_params(k: int, seed: int = 7) -> tuple[list[int], list[int]]:
+    """k (a, b) permutation params with a·h + b < 2^52 (no overflow in
+    either engine's signed-64 arithmetic): a, b < 2^20, shingle hash
+    h < 2^32.  Shared by the Spark plan and the DuckDB oracle SQL so
+    the two compute bit-identical signatures."""
+    rng = np.random.default_rng(seed)
+    a = [int(x) for x in rng.integers(1, 1 << 20, size=k)]
+    b = [int(x) for x in rng.integers(0, 1 << 20, size=k)]
+    return a, b
+
+
+def minhash_portable_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Oracle-checkable MinHash+LSH: identical pipeline shape to
+    ``minhash_near_duplicates`` (signature → band buckets → bucket
+    self-join → signature-agreement estimate) but built ONLY from
+    engine-portable primitives — md5 shingle hashes (first 8 hex
+    digits as a 32-bit int) and exact (a·h + b) mod p permutations
+    with p = 4294967311 — so an ANSI-SQL twin reproduces every pair
+    and every ``est_jaccard`` bit-for-bit.  The production path keeps
+    crc32/xxhash64 signatures for speed; this variant pins the LSH
+    *algorithm* (shingling, banding, candidate generation, estimate)
+    under the DuckDB correctness gate.
+
+    Spark shape (100-TB lens): the whole signature — word split,
+    shingling, k=16 permutation minima — is ONE narrow projection of
+    catalyst array expressions (no explode of shingle rows, no Python,
+    no shuffle); the only shuffles are the (band, bucket) equi-join
+    and the pair distinct.  Returns (doc_id, doc_id2, est_jaccard),
+    doc_id < doc_id2, est rounded to 4 decimals (exact: multiples of
+    1/num_hashes).  No bucket_cap here — the oracle needs exactness;
+    cap-bearing production code path is ``minhash_near_duplicates``.
+    """
+    rows = num_hashes // bands
+    a, b = portable_perm_params(num_hashes, seed)
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    doc = (
+        docs.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+    )
+    shingles = F.when(
+        F.size("ws") >= shingle_n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (shingle_n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("ws", i, shingle_n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("ws"))))
+    hs = F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    def _perm_min(ai: int, bi: int):
+        # closure factory: pyspark derives the higher-order function's
+        # arity from the lambda signature, so the params can't ride in
+        # as default args
+        return F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: (h * F.lit(ai) + F.lit(bi)) % F.lit(_PORTABLE_PRIME),
+            )
+        )
+
+    sig = F.array(*[_perm_min(ai, bi) for ai, bi in zip(a, b)])
+    sigs = doc.select("doc_id", hs.alias("hs")).select("doc_id", sig.alias("sig"))
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                band_idx,
+                lambda bi: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("sig", bi * rows + 1, rows),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id"),
+            F.col("r.doc_id").alias("doc_id2"),
+            F.col("l.sig").alias("sig1"),
+            F.col("r.sig").alias("sig2"),
+        )
+        .dropDuplicates(["doc_id", "doc_id2"])
+    )
+    matches = F.aggregate(
+        F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return cand.select(
+        "doc_id",
+        "doc_id2",
+        F.round(matches.cast("double") / num_hashes, 4).alias("est_jaccard"),
+    )
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      prefix_chars: int | None = None,

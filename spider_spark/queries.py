@@ -947,6 +947,69 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("est_jaccard", F.round("est_jaccard", 6))
 
 
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash+LSH pipeline with engine-portable hashes, so the
+    whole algorithm — shingling, k-permutation signatures, banding,
+    bucket self-join, signature-agreement estimate — sits under the
+    DuckDB oracle gate bit-for-bit (the speed path ``dedup_minhash``
+    stays rows-only because crc32/xxhash64 have no SQL twin)."""
+    d = _load(spark, sf_dir, "documents")
+    return dedup.minhash_portable_pairs(d)
+
+
+def _minhash_portable_sql() -> str:
+    k, bands, rows, n = 16, 4, 4, 3
+    a, b = dedup.portable_perm_params(k, seed=7)
+    vals = ", ".join(
+        f"({i}, {ai}, {bi})" for i, (ai, bi) in enumerate(zip(a, b))
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ws) >= {n}
+                    THEN list_transform(range(1, len(ws) - {n - 2}),
+                                        i -> array_to_string(ws[i:i+{n - 1}], ' '))
+                    ELSE [array_to_string(ws, ' ')] END) AS shingle
+      FROM w WHERE len(ws) > 0
+    ),
+    hv AS (
+      SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+      FROM sh
+    ),
+    perm(i, a, b) AS (VALUES {vals}),
+    sig AS (
+      SELECT doc_id, i, MIN((a * h + b) % {dedup._PORTABLE_PRIME}) AS s
+      FROM hv CROSS JOIN perm GROUP BY 1, 2
+    ),
+    bnd AS (
+      SELECT doc_id, i // {rows} AS band,
+             md5(string_agg(s::VARCHAR, ',' ORDER BY i)) AS bucket
+      FROM sig GROUP BY doc_id, i // {rows}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_id, r.doc_id AS doc_id2
+      FROM bnd l JOIN bnd r ON l.band = r.band AND l.bucket = r.bucket
+      WHERE l.doc_id < r.doc_id
+    )
+    SELECT c.doc_id, c.doc_id2,
+           ROUND(SUM(CASE WHEN s1.s = s2.s THEN 1.0 ELSE 0.0 END)
+                 / {float(k)}, 4) AS est_jaccard
+    FROM cand c
+    JOIN sig s1 ON s1.doc_id = c.doc_id
+    JOIN sig s2 ON s2.doc_id = c.doc_id2 AND s2.i = s1.i
+    GROUP BY 1, 2
+    """
+
+
+SQL_MINHASH_PORTABLE = _minhash_portable_sql()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only; banding covered by tests)."""
     d = _load(spark, sf_dir, "documents")
@@ -2925,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "line_dedup": q_line_dedup,
         "dedup_minhash": q_dedup_minhash,
+        "minhash_portable": q_minhash_portable,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
@@ -3001,7 +3065,10 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": SQL_DECONTAMINATE,
         "dedup_substring": SQL_DEDUP_SUBSTRING,
         "line_dedup": SQL_LINE_DEDUP,
-        # dedup_minhash / dedup_simhash: rows-only (probabilistic signatures)
+        # dedup_minhash / dedup_simhash: rows-only (probabilistic
+        # signatures over crc32/xxhash64, no SQL twin); the full LSH
+        # algorithm is oracle-pinned via minhash_portable below
+        "minhash_portable": SQL_MINHASH_PORTABLE,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_components": SQL_DEDUP_COMPONENTS,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
