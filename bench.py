@@ -60,6 +60,7 @@ HEADLINE = [
     "dataset_balance",
     "lang_temperature",
     "token_budget",
+    "shard_assign",
     "vocab_coverage",
     "length_histogram",
     "length_quantiles",

@@ -586,3 +586,100 @@ def bpe_encode(
         .groupBy(id_col)
         .agg(F.sum(F.col("occ") * F.col("n_sym")).alias("bpe_tokens"))
     )
+
+
+# ---- token-balanced shard assignment ---------------------------------------
+#
+# The step after dedup/filter/tokenize in a training pipeline: write the
+# corpus out as K shards of (approximately) equal token mass, keeping
+# document order contiguous within and across shards so data loaders can
+# stream shard k without an index.  The textbook formulation is a global
+# exclusive prefix sum over tokens in doc_id order — which, written
+# naively as Window.orderBy(doc_id) with no partitionBy, collapses the
+# whole corpus into ONE task (Spark's classic single-partition-window
+# scale trap).  This implementation computes the identical prefix sum as
+# a two-level cumsum: range-bucket the id space (order-contiguous
+# buckets), run the within-bucket window in parallel, roll the tiny
+# per-bucket totals into broadcast offsets.
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign each row a shard in [0, n_shards) such that shards are
+    contiguous in ``id_col`` order and balanced by ``weight_col`` mass:
+    ``shard = (cum_before * n_shards) div total`` where ``cum_before``
+    is the exclusive prefix sum of weights in id order.
+
+    ``id_col`` must be integral and unique.  All shard-boundary
+    arithmetic is exact integer (``div``), so results are independent
+    of partitioning and bit-stable across engines.
+
+    Scale shape: one tiny min/max agg (broadcast), one window
+    partitioned by ~``n_buckets`` order-contiguous range buckets (each
+    bucket a parallel task; at 10^10 rows pick n_buckets ~ cluster
+    cores), one ≤n_buckets-row rollup whose own cumsum window is on the
+    tiny frame, one broadcast join back.  No global-order shuffle of
+    the big table ever happens.
+    """
+    from pyspark.sql.window import Window
+
+    bounds = df.agg(
+        F.min(id_col).cast("long").alias("_lo"),
+        F.max(id_col).cast("long").alias("_hi"),
+    )
+    b = (
+        df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.col(weight_col).cast("long").alias("_w"),
+            *[c for c in df.columns if c not in (id_col, weight_col)],
+        )
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_bkt",
+            F.expr(
+                f"(_id - _lo) div (((_hi - _lo) div {int(n_buckets)}) + 1)"
+            ),
+        )
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = b.withColumn("_within", F.coalesce(F.sum("_w").over(w_in), F.lit(0)))
+
+    totals = b.groupBy("_bkt").agg(F.sum("_w").alias("_bw"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = totals.select(
+        "_bkt",
+        F.coalesce(F.sum("_bw").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_bw").over(w_all).alias("_tot"),
+    )
+
+    out = (
+        b.join(F.broadcast(offsets), "_bkt")
+        .withColumn("_cumb", F.col("_off") + F.col("_within"))
+        .withColumn(
+            "shard",
+            F.when(F.col("_tot") <= 0, F.lit(0)).otherwise(
+                F.least(
+                    F.expr(f"(_cumb * {int(n_shards)}) div _tot"),
+                    F.lit(int(n_shards) - 1),
+                )
+            ).cast("long"),
+        )
+    )
+    keep = [c for c in df.columns if c not in (id_col, weight_col)]
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("_w").alias(weight_col),
+        *keep,
+        "shard",
+    )

@@ -1635,6 +1635,64 @@ SQL_TOKEN_BUDGET = f"""
 """
 
 
+_SHARD_K = 8  # output shards for the shard_assign report
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced contiguous shard assignment — the write-side step
+    that turns a filtered corpus into K equal-token shards whose doc_id
+    ranges are contiguous (so loaders can stream shard k with no
+    index).  shard = (exclusive-prefix-sum(ws_tokens) * K) div total,
+    prefix sum taken in doc_id order.
+
+    Scale shape: the global ordered cumsum — the naive formulation is
+    a single-partition window over the whole corpus — is computed as a
+    two-level cumsum (``text.shard_assign``): an order-contiguous
+    range-bucketed window (parallel across ~64 buckets), a tiny
+    per-bucket offset rollup, and a broadcast join back.  The report
+    rollup is one small groupBy; min/max doc_id per shard pin the
+    contiguity invariant into the oracle hash."""
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        text.whitespace_token_count(F.col("text")).alias("w"),
+    )
+    assigned = text.shard_assign(
+        d, _SHARD_K, id_col="doc_id", weight_col="w")
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("shard_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+    )
+
+
+SQL_SHARD_ASSIGN = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+'))
+                  END AS BIGINT) AS w
+      FROM documents),
+    c AS (
+      SELECT doc_id, w,
+             COALESCE(SUM(w) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+             SUM(w) OVER () AS tot
+      FROM t)
+    SELECT CAST(CASE WHEN tot <= 0 THEN 0
+                ELSE LEAST((cb * {_SHARD_K}) // tot, {_SHARD_K - 1})
+                END AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS shard_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM c GROUP BY 1
+"""
+
+
 _VOCAB_K = 50
 
 
@@ -3006,6 +3064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_balance": q_dataset_balance,
         "lang_temperature": q_lang_temperature,
         "token_budget": q_token_budget,
+        "shard_assign": q_shard_assign,
         "vocab_coverage": q_vocab_coverage,
         "length_histogram": q_length_histogram,
         "length_quantiles": q_length_quantiles,
@@ -3084,6 +3143,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_balance": SQL_DATASET_BALANCE,
         "lang_temperature": SQL_LANG_TEMPERATURE,
         "token_budget": SQL_TOKEN_BUDGET,
+        "shard_assign": SQL_SHARD_ASSIGN,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "length_histogram": SQL_LENGTH_HISTOGRAM,
         "length_quantiles": SQL_LENGTH_QUANTILES,

@@ -1067,3 +1067,57 @@ def test_bpe_encode_matches_reference(spark, sf_dir):
             n += cache[w]
         ref[doc_id] = n
     assert got == ref
+
+
+# ---- shard_assign ----------------------------------------------------------
+
+def _brute_shards(rows, k):
+    """Reference: global exclusive prefix sum in id order."""
+    rows = sorted(rows)
+    tot = sum(w for _, w in rows)
+    out, cum = {}, 0
+    for i, w in rows:
+        out[i] = 0 if tot <= 0 else min(cum * k // tot, k - 1)
+        cum += w
+    return out
+
+
+def test_shard_assign_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(41)
+    ids = rng.sample(range(0, 100_000), 500)  # sparse, non-contiguous
+    rows = [(i, rng.choice([0, 1, 3, 17, 250])) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    got = {r["doc_id"]: r["shard"]
+           for r in text.shard_assign(df, 7, n_buckets=16).collect()}
+    assert got == _brute_shards(rows, 7)
+
+
+def test_shard_assign_contiguous_and_balanced(spark):
+    rows = [(i, 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    res = text.shard_assign(df, 8).collect()
+    by_shard = {}
+    for r in res:
+        by_shard.setdefault(r["shard"], []).append(r["doc_id"])
+    assert sorted(by_shard) == list(range(8))
+    # contiguity: shard ranges must not interleave
+    spans = sorted((min(v), max(v), s) for s, v in by_shard.items())
+    for (lo1, hi1, _), (lo2, _hi2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    # balance: equal weights -> every shard within one doc of 125
+    sizes = {s: len(v) for s, v in by_shard.items()}
+    assert all(v == 125 for v in sizes.values())
+
+
+def test_shard_assign_degenerate(spark):
+    # all-zero weights: everything lands in shard 0, no div-by-zero
+    df = spark.createDataFrame([(i, 0) for i in range(10)],
+                               "doc_id long, weight long")
+    assert {r["shard"] for r in text.shard_assign(df, 4).collect()} == {0}
+    # more buckets than rows
+    df2 = spark.createDataFrame([(5, 2), (9, 2)], "doc_id long, weight long")
+    got = {r["doc_id"]: r["shard"]
+           for r in text.shard_assign(df2, 2, n_buckets=64).collect()}
+    assert got == {5: 0, 9: 1}
