@@ -61,6 +61,7 @@ HEADLINE = [
     "lang_temperature",
     "token_budget",
     "shard_assign",
+    "pack_sequences",
     "vocab_coverage",
     "length_histogram",
     "length_quantiles",

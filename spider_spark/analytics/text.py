@@ -602,28 +602,19 @@ def bpe_encode(
 # buckets), run the within-bucket window in parallel, roll the tiny
 # per-bucket totals into broadcast offsets.
 
-def shard_assign(
+def _exclusive_prefix_sum(
     df: DataFrame,
-    n_shards: int,
-    id_col: str = "doc_id",
-    weight_col: str = "weight",
-    n_buckets: int = 64,
+    id_col: str,
+    weight_col: str,
+    n_buckets: int,
 ) -> DataFrame:
-    """Assign each row a shard in [0, n_shards) such that shards are
-    contiguous in ``id_col`` order and balanced by ``weight_col`` mass:
-    ``shard = (cum_before * n_shards) div total`` where ``cum_before``
-    is the exclusive prefix sum of weights in id order.
-
-    ``id_col`` must be integral and unique.  All shard-boundary
-    arithmetic is exact integer (``div``), so results are independent
-    of partitioning and bit-stable across engines.
-
-    Scale shape: one tiny min/max agg (broadcast), one window
-    partitioned by ~``n_buckets`` order-contiguous range buckets (each
-    bucket a parallel task; at 10^10 rows pick n_buckets ~ cluster
-    cores), one ≤n_buckets-row rollup whose own cumsum window is on the
-    tiny frame, one broadcast join back.  No global-order shuffle of
-    the big table ever happens.
+    """Exclusive prefix sum of ``weight_col`` in ``id_col`` order,
+    WITHOUT a global single-partition window: range-bucket the id
+    space (prefix buckets are order-contiguous), window within each
+    bucket in parallel, roll the tiny per-bucket totals into broadcast
+    offsets.  Returns the frame with ``_id``/``_w`` (cast long),
+    ``_cumb`` (weights strictly before this row) and ``_tot`` (grand
+    total); all other columns pass through.
     """
     from pyspark.sql.window import Window
 
@@ -662,19 +653,44 @@ def shard_assign(
         F.coalesce(F.sum("_bw").over(w_off), F.lit(0)).alias("_off"),
         F.sum("_bw").over(w_all).alias("_tot"),
     )
-
-    out = (
+    return (
         b.join(F.broadcast(offsets), "_bkt")
         .withColumn("_cumb", F.col("_off") + F.col("_within"))
-        .withColumn(
-            "shard",
-            F.when(F.col("_tot") <= 0, F.lit(0)).otherwise(
-                F.least(
-                    F.expr(f"(_cumb * {int(n_shards)}) div _tot"),
-                    F.lit(int(n_shards) - 1),
-                )
-            ).cast("long"),
-        )
+        .drop("_lo", "_hi", "_bkt", "_within", "_off")
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign each row a shard in [0, n_shards) such that shards are
+    contiguous in ``id_col`` order and balanced by ``weight_col`` mass:
+    ``shard = (cum_before * n_shards) div total`` where ``cum_before``
+    is the exclusive prefix sum of weights in id order.
+
+    ``id_col`` must be integral and unique.  All shard-boundary
+    arithmetic is exact integer (``div``), so results are independent
+    of partitioning and bit-stable across engines.
+
+    Scale shape: one tiny min/max agg (broadcast), one window
+    partitioned by ~``n_buckets`` order-contiguous range buckets (each
+    bucket a parallel task; at 10^10 rows pick n_buckets ~ cluster
+    cores), one ≤n_buckets-row rollup whose own cumsum window is on the
+    tiny frame, one broadcast join back.  No global-order shuffle of
+    the big table ever happens.
+    """
+    out = _exclusive_prefix_sum(df, id_col, weight_col, n_buckets).withColumn(
+        "shard",
+        F.when(F.col("_tot") <= 0, F.lit(0)).otherwise(
+            F.least(
+                F.expr(f"(_cumb * {int(n_shards)}) div _tot"),
+                F.lit(int(n_shards) - 1),
+            )
+        ).cast("long"),
     )
     keep = [c for c in df.columns if c not in (id_col, weight_col)]
     return out.select(
@@ -682,4 +698,54 @@ def shard_assign(
         F.col("_w").alias(weight_col),
         *keep,
         "shard",
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style pretraining): the
+    corpus is one token stream in ``id_col`` order, cut into fixed
+    ``seq_len``-token training sequences; each document occupies the
+    half-open token interval [cum_before, cum_before + w).
+
+    Emits per row: ``first_seq`` / ``last_seq`` (sequence ids the doc's
+    tokens land in) and ``n_seqs`` (sequences touched; 0 for empty
+    docs, ≥2 means the doc straddles a boundary and will be split by
+    the loader).  Exact integer arithmetic throughout — bit-stable
+    across engines and partitionings.
+
+    Scale shape: identical to :func:`shard_assign` — the two-level
+    range-bucketed prefix sum; no global-order shuffle, no
+    single-partition window.
+    """
+    L = int(seq_len)
+    out = (
+        _exclusive_prefix_sum(df, id_col, weight_col, n_buckets)
+        .withColumn("first_seq", F.expr(f"_cumb div {L}"))
+        .withColumn(
+            "last_seq",
+            F.when(F.col("_w") > 0,
+                   F.expr(f"(_cumb + _w - 1) div {L}"))
+            .otherwise(F.expr(f"_cumb div {L}")),
+        )
+        .withColumn(
+            "n_seqs",
+            F.when(F.col("_w") > 0,
+                   F.col("last_seq") - F.col("first_seq") + 1)
+            .otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    keep = [c for c in df.columns if c not in (id_col, weight_col)]
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("_w").alias(weight_col),
+        *keep,
+        F.col("first_seq").cast("long").alias("first_seq"),
+        F.col("last_seq").cast("long").alias("last_seq"),
+        "n_seqs",
     )

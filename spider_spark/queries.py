@@ -1693,6 +1693,61 @@ SQL_SHARD_ASSIGN = rf"""
 """
 
 
+_PACK_LEN = 512  # tokens per packed training sequence
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing report: with the corpus packed into
+    512-token training sequences in doc_id order, how many sequences
+    does each document touch?  The histogram (seqs_spanned → doc
+    count + token mass) is the packing-efficiency table a pretraining
+    pipeline reads before choosing seq_len: rows with spanned ≥ 2 are
+    boundary-straddling documents the loader will split.
+
+    Scale shape: `text.pack_sequences` two-level prefix sum (no
+    global-order shuffle), then one small groupBy."""
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        text.whitespace_token_count(F.col("text")).alias("w"),
+    )
+    packed = text.pack_sequences(
+        d, _PACK_LEN, id_col="doc_id", weight_col="w")
+    return (
+        packed.groupBy(F.col("n_seqs").alias("seqs_spanned"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("doc_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )
+
+
+SQL_PACK_SEQUENCES = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+'))
+                  END AS BIGINT) AS w
+      FROM documents),
+    c AS (
+      SELECT doc_id, w,
+             COALESCE(SUM(w) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM t),
+    s AS (
+      SELECT doc_id, w,
+             CASE WHEN w > 0
+                  THEN ((cb + w - 1) // {_PACK_LEN}) - (cb // {_PACK_LEN}) + 1
+                  ELSE 0 END AS n_seqs
+      FROM c)
+    SELECT CAST(n_seqs AS BIGINT) AS seqs_spanned,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS doc_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM s GROUP BY 1
+"""
+
+
 _VOCAB_K = 50
 
 
@@ -3065,6 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_temperature": q_lang_temperature,
         "token_budget": q_token_budget,
         "shard_assign": q_shard_assign,
+        "pack_sequences": q_pack_sequences,
         "vocab_coverage": q_vocab_coverage,
         "length_histogram": q_length_histogram,
         "length_quantiles": q_length_quantiles,
@@ -3144,6 +3200,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_temperature": SQL_LANG_TEMPERATURE,
         "token_budget": SQL_TOKEN_BUDGET,
         "shard_assign": SQL_SHARD_ASSIGN,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "length_histogram": SQL_LENGTH_HISTOGRAM,
         "length_quantiles": SQL_LENGTH_QUANTILES,

@@ -1121,3 +1121,28 @@ def test_shard_assign_degenerate(spark):
     got = {r["doc_id"]: r["shard"]
            for r in text.shard_assign(df2, 2, n_buckets=64).collect()}
     assert got == {5: 0, 9: 1}
+
+
+# ---- pack_sequences --------------------------------------------------------
+
+def test_pack_sequences_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(43)
+    ids = rng.sample(range(0, 50_000), 400)
+    rows = [(i, rng.choice([0, 1, 100, 512, 513, 1025])) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    got = {r["doc_id"]: (r["first_seq"], r["last_seq"], r["n_seqs"])
+           for r in text.pack_sequences(df, 512, n_buckets=16).collect()}
+
+    cum, ref = 0, {}
+    for i, w in sorted(rows):
+        first = cum // 512
+        last = (cum + w - 1) // 512 if w > 0 else first
+        ref[i] = (first, last, last - first + 1 if w > 0 else 0)
+        cum += w
+    assert got == ref
+    # token-interval invariant: sum over docs of tokens == seq coverage
+    # (docs with w == L starting ON a boundary span exactly 1 sequence)
+    exact = [r for r in got.items()]
+    assert all(n >= 1 or ref[i][2] == 0 for i, (_, _, n) in exact)
