@@ -2484,6 +2484,50 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", text.fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local fingerprints (Schleimer et al., SIGMOD 2003)
+    over word 4-grams with window 5 — the oracle-checked member of the
+    fingerprint family (``fingerprints`` stays rows-only because
+    xxhash64 has no SQL twin; here the hash is the portable
+    md5-prefix).  Zero-shuffle narrow map; see
+    text.winnow_fingerprints for the 100-TB analysis."""
+    d = _load(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(d, k=4, w=5)
+
+
+SQL_WINNOW_FINGERPRINTS = r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 4
+                  THEN list_transform(range(1, len(ws) - 2),
+                                      i -> array_to_string(ws[i:i+3], ' '))
+                  ELSE [array_to_string(ws, ' ')] END AS grams
+      FROM w WHERE len(ws) > 0
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(grams,
+                 x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hs
+      FROM g
+    ),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 5
+                  THEN list_distinct(list_transform(range(1, len(hs) - 3),
+                                     j -> list_min(hs[j:j+4])))
+                  ELSE [list_min(hs)] END AS fps
+      FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM f
+"""
+
+
 def _media_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link graph of the interleaved corpus: (src, dst) per media span
     — the single derivation behind media_ref_dedup, pagerank,
@@ -3136,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "media_features": q_media_features,
         "media_ref_dedup": q_media_ref_dedup,
         "anchor_texts": q_anchor_texts,
@@ -3224,7 +3269,9 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": SQL_REPETITION_SCORES,
         "corpus_profile": SQL_CORPUS_PROFILE,
         "lang_id": SQL_LANG_ID,
-        # fingerprints: rows-only (xxhash64 has no DuckDB twin)
+        # fingerprints: rows-only (xxhash64 has no DuckDB twin); the
+        # fingerprinting family is oracle-pinned via winnow_fingerprints
+        "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
         "event_windows": SQL_EVENT_WINDOWS,
         "event_sessions": SQL_EVENT_SESSIONS,
         "politeness_gate": SQL_POLITENESS_GATE,

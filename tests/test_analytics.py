@@ -183,7 +183,33 @@ def test_fingerprint_stability(docs, spark):
     # no Python stage in the plan: the fingerprint is pure codegen
     plan = docs.select(text.fingerprint_col(F.col("text")).alias("fp")) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "Python" not in plan, plan
+    assert "Python" not in plan
+
+
+def test_winnow_fingerprints(docs):
+    k, w = 4, 5
+    out = text.winnow_fingerprints(docs, k=k, w=w, text_col="text",
+                                   id_col="doc_id").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    # Spark output == pure-Python twin, doc by doc (empty doc 7 absent)
+    expect = {i: text.winnow_fingerprints_py(t, k=k, w=w)
+              for i, t in texts.items() if t.strip()}
+    assert got == expect
+    # winnowing guarantee: docs 1/3 share a 12-word run >= w+k-1=8
+    # words -> must share a fingerprint; doc 4 shares no 4-gram with 1
+    assert got[1] & got[3]
+    assert not (got[1] & got[4])
+    # exact duplicate docs produce identical fingerprint sets
+    assert got[1] == got[2]
+    # short doc (< k words) still fingerprints (whole-text gram)
+    assert len(got[8]) == 1
+    # zero-shuffle narrow plan, no Python stage
+    plan = text.winnow_fingerprints(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
 
 
 def test_multimodal_codecs_roundtrip():
