@@ -293,6 +293,52 @@ SQL_TOPK_PER_HOST = f"""
 """
 
 
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refresh scheduling (Cho & Garcia-Molina freshness model): rank
+    already-fetched pages by expected staleness and pick the next
+    refresh batch — the batch analog of the reference's USK edition
+    re-subscription (Spider re-polls USK editions for updated pages;
+    SURVEY §2.A3).  Per page, x = rate·age with a deterministic
+    per-page change rate (id%10+1)/1000 and age measured against the
+    corpus-max last_change; staleness = x/(1+x), the bounded rational
+    surrogate for 1-exp(-x) built ONLY from IEEE-exact ops (· / +) so
+    the DuckDB twin is bit-identical — no transcendental drift.
+
+    Scale shape: one scan + a 1-row max aggregate broadcast into the
+    projection (no shuffle of the big side), then global top-50 =
+    TakeOrderedAndProject (per-partition heaps, no full sort).  At
+    10^10 rows this is the same shape as fifo_topk.
+    """
+    f = _frontier_view(spark, sf_dir).filter(
+        F.col("status").isin("SUCCEEDED", "INDEXED"))
+    mx = f.agg(F.max("last_change").alias("now"))
+    x = ((F.col("id") % 10 + 1) / F.lit(1000.0)) * \
+        (F.col("now") - F.col("last_change"))
+    return (
+        f.crossJoin(F.broadcast(mx))
+        .select(
+            "id", "url", "host",
+            (F.col("now") - F.col("last_change")).cast("long").alias("age"),
+            (x / (F.lit(1.0) + x)).alias("staleness"))
+        .orderBy(F.col("staleness").desc(), "id")
+        .limit(50)
+    )
+
+
+SQL_RECRAWL_SCHEDULE = f"""
+    WITH f AS ({_FRONTIER_SQL}),
+    s AS (SELECT *, (SELECT MAX(last_change)
+                     FROM f WHERE status IN ('SUCCEEDED','INDEXED')) AS now
+          FROM f WHERE status IN ('SUCCEEDED','INDEXED')),
+    x AS (SELECT id, url, host,
+                 CAST(now - last_change AS BIGINT) AS age,
+                 ((id % 10 + 1) / 1000.0) * (now - last_change) AS xr
+          FROM s)
+    SELECT id, url, host, age, xr / (1.0 + xr) AS staleness
+    FROM x ORDER BY staleness DESC, id LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # D/E. tokenization + postings aggregation (latin profile)
 
@@ -3130,6 +3176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_antijoin": q_seen_antijoin,
         "fifo_topk": q_fifo_topk,
         "topk_per_host": q_topk_per_host,
+        "recrawl_schedule": q_recrawl_schedule,
         "term_doc_stats": q_term_doc_stats,
         "tf_relevance": q_tf_relevance,
         "buffer_flush_model": q_buffer_flush_model,
@@ -3211,6 +3258,7 @@ def oracle_sql() -> dict[str, str]:
         "seen_antijoin": SQL_SEEN_ANTIJOIN,
         "fifo_topk": SQL_FIFO_TOPK,
         "topk_per_host": SQL_TOPK_PER_HOST,
+        "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
         "term_doc_stats": SQL_TERM_DOC_STATS,
         "tf_relevance": SQL_TF_RELEVANCE,
         "buffer_flush_model": SQL_BUFFER_FLUSH_MODEL,

@@ -65,3 +65,14 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = Q.queries()[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_recrawl_schedule_plan(spark, sf_dir):
+    """100-TB plan pins for recrawl_schedule: the 1-row max aggregate
+    joins in as a broadcast (no shuffle of the frontier side) and the
+    global top-50 is TakeOrderedAndProject, not a full sort."""
+    plan = Q.queries()["recrawl_schedule"](spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan
