@@ -83,6 +83,9 @@ HEADLINE = [
     "bpe_pairs",
     "bpe_encode",
     "minhash_portable",
+    "winnow_fingerprints",
+    "recrawl_schedule",
+    "host_quality",
 ]
 
 CRAWL_ROUNDS = int(os.environ.get("SPIDER_BENCH_ROUNDS", "4"))

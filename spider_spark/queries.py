@@ -1436,6 +1436,65 @@ SQL_TOKEN_COUNTS = rf"""
 """
 
 
+def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level filtering (the RefinedWeb/Dolma-style host gate):
+    per-host aggregate signals — doc count, total/mean whitespace
+    tokens, short-doc fraction — plus the block decision a pipeline
+    applies before per-doc quality scoring (cheap host-granular
+    culling first, expensive per-doc passes on survivors).
+
+    Bit-exactness: every aggregate is an exact integer (count / sum of
+    int token counts), and the two ratios are ONE IEEE division each —
+    no float summation-order dependence — so the DuckDB twin matches
+    bit-for-bit.  Scale shape: one scan + one map-side-combined hash
+    agg keyed on host (~10^7 keys at web scale, rows ≪ input);
+    the blocked flag is a pure projection of the aggregate row.
+    """
+    d = _load(spark, sf_dir, "documents")
+    per = d.select(
+        F.col("source").alias("host"),
+        text.whitespace_token_count(F.col("text")).alias("t"))
+    agg = per.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("t").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("t") < F.lit(50), 1).otherwise(0))
+         .cast("long").alias("short_docs"),
+    )
+    mean = F.col("total_tokens") / F.col("n_docs")
+    short_frac = F.col("short_docs") / F.col("n_docs")
+    return agg.select(
+        "host", "n_docs", "total_tokens",
+        mean.alias("mean_tokens"),
+        short_frac.alias("short_frac"),
+        ((mean < F.lit(52.0)) | (short_frac > F.lit(0.5))).alias("blocked"),
+    )
+
+
+SQL_HOST_QUALITY = r"""
+    WITH t AS (
+      SELECT source AS host,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+'))
+                  END AS BIGINT) AS t
+      FROM documents
+    ),
+    a AS (
+      SELECT host,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(t) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN t < 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS short_docs
+      FROM t GROUP BY host
+    )
+    SELECT host, n_docs, total_tokens,
+           total_tokens / n_docs AS mean_tokens,
+           short_docs / n_docs AS short_frac,
+           (total_tokens / n_docs < 52.0
+            OR short_docs / n_docs > 0.5) AS blocked
+    FROM a
+"""
+
+
 # --- dataset-engineering trio: the reproducible-corpus operations a
 # training pipeline runs between dedup and tokenization.  All three
 # are content-hash / count arithmetic both engines express identically
@@ -3206,6 +3265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "kmeans_embed": q_kmeans_embed,
         "token_counts": q_token_counts,
+        "host_quality": q_host_quality,
         "dataset_split": q_dataset_split,
         "dataset_balance": q_dataset_balance,
         "lang_temperature": q_lang_temperature,
@@ -3288,6 +3348,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": SQL_SEMDEDUP,
         "kmeans_embed": SQL_KMEANS_EMBED,
         "token_counts": SQL_TOKEN_COUNTS,
+        "host_quality": SQL_HOST_QUALITY,
         "dataset_split": SQL_DATASET_SPLIT,
         "dataset_balance": SQL_DATASET_BALANCE,
         "lang_temperature": SQL_LANG_TEMPERATURE,
