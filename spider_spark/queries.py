@@ -2633,6 +2633,57 @@ SQL_WINNOW_FINGERPRINTS = r"""
 """
 
 
+def q_span_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BASELINE.json input_hint per-row invariant — span-sequence
+    equality (kind, text, media_ref, order) — as a driver-gate query:
+    the full interleaved corpus exploded to one row per span, so the
+    DuckDB oracle (which re-derives the same interleave with SQL
+    lead/arg_min windows) hash-checks every span of every document
+    end-to-end.  Complements the engine-parity pytest pin with an
+    independent SQL re-derivation under the hash gate.
+
+    Scale shape: the interleave is per-host lead windows (partitions
+    are single hosts — bounded, no skew since out-degree is fixed at
+    3) followed by a narrow ×5 row expansion; nothing here widens at
+    100 TB beyond the linear span count."""
+    from . import flagship
+    d = _load(spark, sf_dir, "documents")
+    s = flagship.interleaved_view(d).select(
+        "doc_id", F.explode("spans").alias("s"))
+    return s.select(
+        "doc_id", F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("off"))
+
+
+SQL_SPAN_SEQUENCES = """
+    WITH u AS (
+      SELECT doc_id, source, text,
+             'http://' || source || '.example/d/' || doc_id AS url
+      FROM documents),
+    m AS (
+      SELECT url, doc_id, text,
+             coalesce(lead(url, 1) OVER w, arg_min(url, doc_id) OVER w2) AS m1,
+             coalesce(lead(url, 3) OVER w, arg_min(url, doc_id) OVER w2) AS m2,
+             coalesce(lead(url, 9) OVER w, arg_min(url, doc_id) OVER w2) AS m3
+      FROM u
+      WINDOW w AS (PARTITION BY source ORDER BY doc_id),
+             w2 AS (PARTITION BY source))
+    SELECT url AS doc_id, 'title' AS kind, 'Doc ' || doc_id AS text,
+           CAST(NULL AS VARCHAR) AS media_ref, CAST(0 AS INTEGER) AS off
+    FROM m
+    UNION ALL
+    SELECT url, 'text', text, NULL, 1 FROM m
+    UNION ALL
+    SELECT url, 'media', NULL, m1, 2 FROM m
+    UNION ALL
+    SELECT url, 'media', NULL, m2, 3 FROM m
+    UNION ALL
+    SELECT url, 'media', NULL, m3, 4 FROM m
+"""
+
+
 def _media_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link graph of the interleaved corpus: (src, dst) per media span
     — the single derivation behind media_ref_dedup, pagerank,
@@ -3288,6 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "span_sequences": q_span_sequences,
         "media_features": q_media_features,
         "media_ref_dedup": q_media_ref_dedup,
         "anchor_texts": q_anchor_texts,
@@ -3381,6 +3433,7 @@ def oracle_sql() -> dict[str, str]:
         # fingerprints: rows-only (xxhash64 has no DuckDB twin); the
         # fingerprinting family is oracle-pinned via winnow_fingerprints
         "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+        "span_sequences": SQL_SPAN_SEQUENCES,
         "event_windows": SQL_EVENT_WINDOWS,
         "event_sessions": SQL_EVENT_SESSIONS,
         "politeness_gate": SQL_POLITENESS_GATE,
