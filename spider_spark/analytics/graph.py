@@ -238,3 +238,64 @@ def hits(edges: DataFrame, *, iterations: int = 2) -> DataFrame:
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def opic(edges: DataFrame, *, iterations: int = 3,
+         cash0: float = 1.0) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda,
+    Cobena, WWW 2003, "Adaptive On-Line Page Importance Computation")
+    in its synchronous batch form: every node starts with ``cash0``
+    cash; each step a node banks its cash into ``history`` and
+    distributes it equally over its out-edges.  Importance after k
+    steps is proportional to ``history + cash``.  This is the frontier
+    prioritizer Nutch popularized — unlike pagerank it needs no
+    convergence loop, any prefix of the iteration is a usable ranking.
+
+    Returns ``(node, history, cash)`` after ``iterations`` steps.
+    Callers wanting exact cross-engine parity on a constant-out-degree
+    d graph should pass ``cash0 = d ** iterations``: every division
+    then yields an exact integer-valued double, so per-node sums are
+    order-independent and bit-identical across engines and partition
+    layouts (integer headroom 2^53 — see :func:`hits`).
+
+    Dangling nodes (no out-edges) bank their cash but distribute
+    nothing — their outflow evaporates instead of routing to OPIC's
+    virtual node; on crawl-frontier graphs the virtual node's only
+    role is bootstrapping unreached pages, which the caller's seed
+    logic already owns.
+
+    Scale notes: same shuffle shape as :func:`pagerank` — the edge
+    list (augmented once with out-degrees) is cached and reused every
+    iteration; one map-side-combined groupBy on ``dst`` per step; the
+    cash/history frames stay one row per node.
+    """
+    e = edges.select(F.col("src").cast("string").alias("src"),
+                     F.col("dst").cast("string").alias("dst"))
+    od = e.groupBy("src").agg(F.count("*").alias("_od"))
+    e = e.join(od, "src").cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    cash = nodes.select("node", F.lit(float(cash0)).alias("cash"))
+    hist = nodes.select("node", F.lit(0.0).alias("history"))
+    for _ in range(iterations):
+        inflow = (
+            e.join(cash, e["src"] == cash["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("cash") / F.col("_od")).alias("_v"))
+        )
+        hist = (
+            hist.join(cash, "node")
+            .select("node", (F.col("history") + F.col("cash")).alias("history"))
+        )
+        cash = (
+            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+            .select("node", F.coalesce("_v", F.lit(0.0)).alias("cash"))
+        )
+    out = hist.join(cash, "node").localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
+    return out

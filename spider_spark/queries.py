@@ -2908,6 +2908,70 @@ SQL_HITS = (
 """)
 
 
+_OPIC_ITERS = 3
+_OPIC_CASH0 = 3 ** _OPIC_ITERS  # exact integer flow on the degree-3 graph
+
+
+def q_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC frontier importance (Abiteboul/Preda/Cobena, WWW 2003) over
+    the media-link graph — the third classic frontier-prioritization
+    signal next to pagerank and HITS, and the one actually built for
+    crawling: cash flows along out-links each round, banked history +
+    live cash IS the importance, usable after any prefix of rounds (no
+    convergence wait).  Nutch's default scoring plugin is this model.
+
+    3 synchronous rounds with cash0 = 3^3 = 27: the corpus graph has
+    constant out-degree 3, so every division is an exact integer-valued
+    double — per-node sums are order-independent and the engines agree
+    bit-exactly before one final normalize (score sums to n_nodes, like
+    pagerank's scaling) + round(6).
+
+    Scale shape: identical to pagerank — edge list cached once with
+    out-degrees, one map-side-combined groupBy on dst per round,
+    score frames one row per node (see analytics/graph.py:opic).
+
+    Reference tie: Spider.java:653-657 queues foundURI targets FIFO
+    with static priority classes; this is the importance-ordered
+    replacement the north rule's edition-priority queue calls for."""
+    from .analytics import graph
+    scores = graph.opic(_media_edges(spark, sf_dir),
+                        iterations=_OPIC_ITERS, cash0=_OPIC_CASH0)
+    denom = float((_OPIC_ITERS + 1) * _OPIC_CASH0)
+    return scores.select(
+        F.col("node").alias("url"),
+        F.round((F.col("history") + F.col("cash")) / F.lit(denom), 6)
+        .alias("opic"),
+    )
+
+
+_OPIC_ITER_SQL = """
+    h{K} AS (SELECT h{P}.node, h{P}.h + c{P}.c AS h
+             FROM h{P} JOIN c{P} ON h{P}.node = c{P}.node),
+    c{K} AS (SELECT n.node, coalesce(s.v, 0.0) AS c FROM n LEFT JOIN
+             (SELECT e.dst, SUM(c{P}.c / od.od) AS v
+              FROM e JOIN od ON e.src = od.src
+              JOIN c{P} ON e.src = c{P}.node GROUP BY e.dst) s
+             ON n.node = s.dst)"""
+
+SQL_OPIC = (
+    "WITH " + _EDGES_SQL + f""",
+    od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM e GROUP BY src),
+    n AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+    c0 AS (SELECT node, CAST({_OPIC_CASH0} AS DOUBLE) AS c FROM n),
+    h0 AS (SELECT node, 0.0 AS h FROM n),
+    """
+    + ",\n".join(_OPIC_ITER_SQL.format(K=k, P=k - 1)
+                 for k in range(1, _OPIC_ITERS + 1))
+    + f"""
+    SELECT h{_OPIC_ITERS}.node AS url,
+           ROUND((h{_OPIC_ITERS}.h + c{_OPIC_ITERS}.c)
+                 / {(_OPIC_ITERS + 1) * _OPIC_CASH0}, 6) AS opic
+    FROM h{_OPIC_ITERS} JOIN c{_OPIC_ITERS}
+      ON h{_OPIC_ITERS}.node = c{_OPIC_ITERS}.node
+""")
+
+
 def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS hop distance from each host's chain head over the media-link
     graph — the crawl-depth audit ("which pages are reachable within K
@@ -3345,6 +3409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "opic": q_opic,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "crawl_depth": q_crawl_depth,
@@ -3423,6 +3488,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_texts": SQL_ANCHOR_TEXTS,
         "pagerank": SQL_PAGERANK,
         "hits": SQL_HITS,
+        "opic": SQL_OPIC,
         "dsir_weights": SQL_DSIR_WEIGHTS,
         "dsir_sample": SQL_DSIR_SAMPLE,
         "crawl_depth": SQL_CRAWL_DEPTH,

@@ -132,3 +132,50 @@ def test_hits_matches_dense_reference(spark):
 def test_hits_empty_graph_all_zero(spark):
     e = _edges(spark, [("a", "b")]).filter("src = 'never'")
     assert graph.hits(e, iterations=2).collect() == []
+
+
+def _ref_opic(n, edges, iterations, cash0):
+    """Dense reference of the synchronous OPIC rounds: cash banks into
+    history, then flows uniformly over out-edges; dangling outflow
+    evaporates (graph.opic's documented contract)."""
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[s] += 1
+    cash = np.full(n, float(cash0))
+    hist = np.zeros(n)
+    for _ in range(iterations):
+        nxt = np.zeros(n)
+        for s, d in edges:
+            nxt[d] += cash[s] / out_deg[s]
+        hist += cash
+        cash = nxt
+    return hist, cash
+
+
+def test_opic_matches_dense_reference_with_dangling(spark):
+    # a->b, a->c, b->c; c dangling (its cash evaporates)
+    names = ["a", "b", "c"]
+    idx_edges = [(0, 1), (0, 2), (1, 2)]
+    hist, cash = _ref_opic(3, idx_edges, iterations=3, cash0=8.0)
+    rows = graph.opic(
+        _edges(spark, [(names[s], names[d]) for s, d in idx_edges]),
+        iterations=3, cash0=8.0,
+    ).collect()
+    got = {r["node"]: (r["history"], r["cash"]) for r in rows}
+    for i, nm in enumerate(names):
+        assert got[nm][0] == pytest.approx(hist[i], abs=1e-12)
+        assert got[nm][1] == pytest.approx(cash[i], abs=1e-12)
+
+
+def test_opic_conserves_cash_without_dangling(spark):
+    # 2-cycle plus a chord: every node has out-edges, so total
+    # history+cash is exactly (k+1) * cash0 * n and every intermediate
+    # value is an exact integer when cash0 = max_outdeg^k
+    pairs = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")]
+    k = 3
+    rows = graph.opic(_edges(spark, pairs), iterations=k, cash0=2.0 ** k).collect()
+    total = sum(r["history"] + r["cash"] for r in rows)
+    assert total == (k + 1) * 2.0 ** k * 3
+    for r in rows:
+        assert r["history"] == int(r["history"])
+        assert r["cash"] == int(r["cash"])
