@@ -1495,6 +1495,77 @@ SQL_HOST_QUALITY = r"""
 """
 
 
+_TRAP_MIN_URLS = 100  # signature classes at least this populous ...
+_TRAP_MIN_DEPTH = 3   # ... and at least this deep are trap candidates
+
+
+def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection by URL-signature explosion — the classic
+    frontier-hygiene gate (Heritrix's path-repetition / calendar-trap
+    family): collapse every digit run in the URL path to ``D`` and
+    count URLs per (host, signature) class; a deep signature class
+    holding an unbounded share of a host's frontier is a generated
+    URL space (session ids, calendars, pagination loops) that a
+    politeness-bounded crawler must cap.  The reference has no such
+    gate — its freenet URI space is content-addressed — but an
+    HTTP-frontier engine cannot ship without one.
+
+    URL forms are derived deterministically from the corpus (the
+    canonical ``/d/<id>`` page plus a deeper parameterized
+    ``/s/<n>/p<id>/view`` variant), so both engines see the identical
+    URL population with no external data.
+
+    Bit-exactness: counts and depths are exact integers; the trap flag
+    is a pure projection.  Scale shape: one scan → narrow ×2 explode →
+    ONE map-side-combined hash agg keyed on (host, signature) — class
+    cardinality ≪ URL count by construction (that collapse is the
+    whole point), so the output is frontier-metadata sized."""
+    d = _load(spark, sf_dir, "documents")
+    u1 = F.concat(F.lit("/d/"), F.col("doc_id").cast("string"))
+    u2 = F.concat(F.lit("/s/"), F.col("n_chars").cast("string"),
+                  F.lit("/p"), F.col("doc_id").cast("string"),
+                  F.lit("/view"))
+    per = d.select(
+        F.col("source").alias("host"), "doc_id",
+        F.explode(F.array(u1, u2)).alias("path"),
+    ).select(
+        "host", "doc_id",
+        F.regexp_replace("path", "[0-9]+", "D").alias("sig"),
+    )
+    agg = per.groupBy("host", "sig").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    depth = F.length("sig") - F.length(F.regexp_replace("sig", "/", ""))
+    return agg.select(
+        "host", "sig", "n_urls", "n_docs",
+        depth.cast("int").alias("depth"),
+        ((F.col("n_urls") >= F.lit(_TRAP_MIN_URLS))
+         & (depth >= F.lit(_TRAP_MIN_DEPTH))).alias("trap"),
+    )
+
+
+SQL_URL_TRAPS = f"""
+    WITH p AS (
+      SELECT source AS host, doc_id,
+             unnest(['/d/' || doc_id,
+                     '/s/' || n_chars || '/p' || doc_id || '/view']) AS path
+      FROM documents),
+    s AS (SELECT host, doc_id,
+                 regexp_replace(path, '[0-9]+', 'D', 'g') AS sig FROM p),
+    a AS (SELECT host, sig,
+                 CAST(COUNT(*) AS BIGINT) AS n_urls,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM s GROUP BY host, sig)
+    SELECT host, sig, n_urls, n_docs,
+           CAST(len(sig) - len(replace(sig, '/', '')) AS INTEGER) AS depth,
+           (n_urls >= {_TRAP_MIN_URLS}
+            AND len(sig) - len(replace(sig, '/', '')) >= {_TRAP_MIN_DEPTH})
+             AS trap
+    FROM a
+"""
+
+
 # --- dataset-engineering trio: the reproducible-corpus operations a
 # training pipeline runs between dedup and tokenization.  All three
 # are content-hash / count arithmetic both engines express identically
@@ -3381,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embed": q_kmeans_embed,
         "token_counts": q_token_counts,
         "host_quality": q_host_quality,
+        "url_traps": q_url_traps,
         "dataset_split": q_dataset_split,
         "dataset_balance": q_dataset_balance,
         "lang_temperature": q_lang_temperature,
@@ -3466,6 +3538,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embed": SQL_KMEANS_EMBED,
         "token_counts": SQL_TOKEN_COUNTS,
         "host_quality": SQL_HOST_QUALITY,
+        "url_traps": SQL_URL_TRAPS,
         "dataset_split": SQL_DATASET_SPLIT,
         "dataset_balance": SQL_DATASET_BALANCE,
         "lang_temperature": SQL_LANG_TEMPERATURE,
