@@ -2216,6 +2216,122 @@ SQL_QUALITY_SCORES = r"""
 """
 
 
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher document-quality rule set (Rae et al. 2021,
+    "Scaling Language Models: ...Gopher", Appendix A1.1 — the
+    thresholds MassiveWeb shipped and RefinedWeb/Dolma reuse), each
+    rule as its own column plus the composite keep flag: word count in
+    [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    (``#`` / ``...``) <= 0.1, >= 80% of words containing an alphabetic
+    character, and >= 2 distinct hits on Gopher's required-stopword
+    list.  Distinct from q_quality_scores (a blended score for
+    ranking): this is the canonical hard FILTER a training pipeline
+    applies verbatim.  Each rule is also emitted as its own boolean
+    column (rule_*) — the per-rule rejection breakdown is what a
+    pipeline operator actually tunes against (on this synthetic corpus
+    the stopword rule rejects everything — max 1 required stopword per
+    doc — while the word-count rule splits it, so both flag branches
+    are exercised).  The two line-level Gopher rules (bullet-start /
+    ellipsis-end fractions) are omitted — the corpus is single-line by
+    construction, so they are constant-true.
+
+    Bit-exactness: every feature is an exact integer (counts, length
+    arithmetic for the symbol occurrences), each ratio ONE IEEE
+    division, flags pure projections — bit-identical engines.  Scale
+    shape: one scan, per-row array expressions inside whole-stage
+    codegen, no shuffle at all (output is one row per doc; at 100 TB
+    this is a pure map stage that fuses into the next filter)."""
+    d = _load(spark, sf_dir, "documents")
+    arr = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
+    n_words = F.size(arr)
+    sum_len = F.aggregate(
+        F.transform(arr, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x)
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ell = ((F.length("text")
+              - F.length(F.replace(F.col("text"), F.lit("...")))) / 3
+             ).cast("int")
+    n_alpha = F.size(F.filter(arr, lambda x: x.rlike("[A-Za-z]")))
+    stop_hits = sum(
+        F.array_contains(arr, w).cast("int") for w in _GOPHER_STOPS)
+    feats = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        sum_len.alias("_sum_len"),
+        (n_hash + n_ell).alias("_n_sym"),
+        n_alpha.alias("_n_alpha"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    nw = F.greatest(F.col("n_words"), F.lit(1))
+    mean_len = F.col("_sum_len") / nw
+    sym_ratio = F.col("_n_sym") / nw
+    alpha_frac = F.col("_n_alpha") / nw
+    r_words = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    r_mean = (mean_len >= 3.0) & (mean_len <= 10.0)
+    r_sym = sym_ratio <= 0.1
+    r_alpha = alpha_frac >= 0.8
+    r_stops = F.col("stop_hits") >= 2
+    return feats.select(
+        "doc_id", "n_words",
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        "stop_hits",
+        r_words.alias("rule_words"),
+        r_mean.alias("rule_mean_len"),
+        r_sym.alias("rule_symbols"),
+        r_alpha.alias("rule_alpha"),
+        r_stops.alias("rule_stops"),
+        (r_words & r_mean & r_sym & r_alpha & r_stops).alias("keep"),
+    )
+
+
+SQL_GOPHER_RULES = r"""
+    WITH w AS (
+      SELECT doc_id, text, regexp_extract_all(text, '\S+') AS words
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS n_words,
+        coalesce(list_aggregate(list_transform(words, x -> len(x)), 'sum'),
+                 0) AS sum_len,
+        (len(text) - len(replace(text, '#', '')))
+          + CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT)
+          AS n_sym,
+        len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+          AS n_alpha,
+        CAST(list_contains(words, 'the') AS INT)
+          + CAST(list_contains(words, 'be') AS INT)
+          + CAST(list_contains(words, 'to') AS INT)
+          + CAST(list_contains(words, 'of') AS INT)
+          + CAST(list_contains(words, 'and') AS INT)
+          + CAST(list_contains(words, 'that') AS INT)
+          + CAST(list_contains(words, 'have') AS INT)
+          + CAST(list_contains(words, 'with') AS INT) AS stop_hits
+      FROM w)
+    SELECT doc_id, n_words,
+      ROUND(sum_len / greatest(n_words, 1), 6) AS mean_word_len,
+      ROUND(n_sym / greatest(n_words, 1), 6) AS symbol_ratio,
+      ROUND(n_alpha / greatest(n_words, 1), 6) AS alpha_frac,
+      CAST(stop_hits AS BIGINT) AS stop_hits,
+      (n_words >= 50 AND n_words <= 100000) AS rule_words,
+      (sum_len / greatest(n_words, 1) >= 3.0
+       AND sum_len / greatest(n_words, 1) <= 10.0) AS rule_mean_len,
+      (n_sym / greatest(n_words, 1) <= 0.1) AS rule_symbols,
+      (n_alpha / greatest(n_words, 1) >= 0.8) AS rule_alpha,
+      (stop_hits >= 2) AS rule_stops,
+      (n_words >= 50 AND n_words <= 100000
+       AND sum_len / greatest(n_words, 1) >= 3.0
+       AND sum_len / greatest(n_words, 1) <= 10.0
+       AND n_sym / greatest(n_words, 1) <= 0.1
+       AND n_alpha / greatest(n_words, 1) >= 0.8
+       AND stop_hits >= 2) AS keep
+    FROM f
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (public C4 / BigCode / The-Pile
     scrubbing pass) through the production `text.pii_features`
@@ -3463,6 +3579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q_length_histogram,
         "length_quantiles": q_length_quantiles,
         "quality_scores": q_quality_scores,
+        "gopher_rules": q_gopher_rules,
         "pii_scrub": q_pii_scrub,
         "filter_decisions": q_filter_decisions,
         "unigram_xent": q_unigram_xent,
@@ -3549,6 +3666,7 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram": SQL_LENGTH_HISTOGRAM,
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "quality_scores": SQL_QUALITY_SCORES,
+        "gopher_rules": SQL_GOPHER_RULES,
         "pii_scrub": SQL_PII_SCRUB,
         "filter_decisions": SQL_FILTER_DECISIONS,
         "unigram_xent": SQL_UNIGRAM_XENT,
