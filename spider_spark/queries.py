@@ -499,6 +499,142 @@ SQL_BUFFER_FLUSH_MODEL = f"""
 """
 
 
+def _vbyte_len(col):
+    """Bytes to vByte-encode a non-negative int: one byte per started
+    7-bit group (0 ≤ x < 2^7 → 1, < 2^14 → 2, < 2^21 → 3, < 2^28 → 4,
+    else 5).  Pure when-chain — whole-stage codegen, no UDF."""
+    return (
+        F.when(col < (1 << 7), 1)
+        .when(col < (1 << 14), 2)
+        .when(col < (1 << 21), 3)
+        .when(col < (1 << 28), 4)
+        .otherwise(5)
+        .cast("long")
+    )
+
+
+def q_varint_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-disk index-size model: gap + vByte coding of the postings the
+    buffer flushes (complement of q_buffer_flush_model's RAM model —
+    that prices the reference's in-memory TermPageEntry estimate,
+    TermPageEntry.java:118-125; this prices the write-side list the
+    flush emits, the classic d-gap/vByte layout every inverted-index
+    writer uses).  Per (term, doc): positions sorted ascending, first
+    stored absolute and the rest as deltas, each vByte-coded; per
+    term: the doc list is itself d-gap/vByte-coded (doc ids ascending)
+    plus a vByte position-count header per doc.  Output: top 30 terms
+    by encoded list bytes (bytes DESC, term ASC — total order), each
+    row carrying df, total postings, encoded bytes, and the corpus
+    totals (total encoded index bytes, bytes/posting ×1e6 as an exact
+    integer) — the arithmetic that sizes the flushed segment files.
+
+    Position = 0-based index in the lowered extracted-word stream
+    (assigned BEFORE the length/stopword gate, like the reference's
+    word counter which numbers every word it sees, Spider.java:700s);
+    the gate then decides which terms get lists at all.
+
+    Scale shape: one scan → posexplode (no shuffle) → window over
+    (doc_id, term) ordered by pos (shuffle 1, the tokens' only
+    shuffle, map-side combinable into the following agg) → per-term
+    window over doc_id (shuffle 2, on the already doc-collapsed frame
+    ≤ df rows/term) → per-term agg → 1-row totals broadcast → global
+    top-30 via TakeOrderedAndProject.  No Python anywhere."""
+    d = _load(spark, sf_dir, "documents")
+    stream = d.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_PATTERN), 0)
+        ).alias("pos", "term"),
+    ).filter(
+        (F.length("term") >= 3)
+        & ~F.col("term").isin("the", "and", "that", "have", "for")
+    )
+    w_pos = Window.partitionBy("doc_id", "term").orderBy("pos")
+    gaps = stream.select(
+        "doc_id", "term",
+        (F.col("pos") - F.coalesce(F.lag("pos").over(w_pos), F.lit(0)))
+        .alias("gap"),
+    )
+    per_doc = gaps.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("n_pos"),
+        F.sum(_vbyte_len(F.col("gap"))).alias("pos_bytes"),
+    )
+    w_doc = Window.partitionBy("term").orderBy("doc_id")
+    per_doc2 = per_doc.select(
+        "term", "n_pos", "pos_bytes",
+        (F.col("doc_id")
+         - F.coalesce(F.lag("doc_id").over(w_doc), F.lit(0)))
+        .alias("doc_gap"),
+    )
+    per_term = per_doc2.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("n_pos").cast("long").alias("n_postings"),
+        (F.sum(_vbyte_len(F.col("doc_gap")))
+         + F.sum(_vbyte_len(F.col("n_pos")))
+         + F.sum("pos_bytes")).cast("long").alias("list_bytes"),
+    )
+    totals = per_term.agg(
+        F.sum("list_bytes").cast("long").alias("total_bytes"),
+        # exact-integer mean: bytes/posting scaled by 1e6, floor-divided
+        # on longs (SQL `div`, no double intermediate)
+        F.expr("sum(list_bytes) * 1000000L div sum(n_postings)")
+        .cast("long").alias("bytes_per_posting_e6"),
+    )
+    return (
+        per_term.crossJoin(F.broadcast(totals))
+        .orderBy(F.col("list_bytes").desc(), "term")
+        .limit(30)
+        .select("term", "df", "n_postings", "list_bytes",
+                "total_bytes", "bytes_per_posting_e6")
+    )
+
+
+_VBYTE_SQL = ("CASE WHEN {x} < 128 THEN 1 WHEN {x} < 16384 THEN 2 "
+              "WHEN {x} < 2097152 THEN 3 WHEN {x} < 268435456 THEN 4 "
+              "ELSE 5 END")
+
+SQL_VARINT_POSTINGS = f"""
+    WITH stream AS (
+      SELECT doc_id, unnest(arr) AS term,
+             unnest(range(0, len(arr))) AS pos
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '{_TOKEN_PATTERN_SQL}')
+                     AS arr
+            FROM documents)),
+    gaps AS (
+      SELECT doc_id, term,
+             pos - COALESCE(LAG(pos) OVER
+               (PARTITION BY doc_id, term ORDER BY pos), 0) AS gap
+      FROM stream
+      WHERE length(term) >= 3 AND term NOT IN {_STOPS_SQL}),
+    per_doc AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS n_pos,
+             CAST(SUM({_VBYTE_SQL.format(x='gap')}) AS BIGINT) AS pos_bytes
+      FROM gaps GROUP BY term, doc_id),
+    per_doc2 AS (
+      SELECT term, n_pos, pos_bytes,
+             doc_id - COALESCE(LAG(doc_id) OVER
+               (PARTITION BY term ORDER BY doc_id), 0) AS doc_gap
+      FROM per_doc),
+    per_term AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(n_pos) AS BIGINT) AS n_postings,
+             CAST(SUM({_VBYTE_SQL.format(x='doc_gap')})
+                  + SUM({_VBYTE_SQL.format(x='n_pos')})
+                  + SUM(pos_bytes) AS BIGINT) AS list_bytes
+      FROM per_doc2 GROUP BY term),
+    s AS (
+      SELECT CAST(SUM(list_bytes) AS BIGINT) AS total_bytes,
+             CAST(SUM(list_bytes) * 1000000 // SUM(n_postings) AS BIGINT)
+               AS bytes_per_posting_e6
+      FROM per_term)
+    SELECT term, df, n_postings, list_bytes, total_bytes,
+           bytes_per_posting_e6
+    FROM per_term CROSS JOIN s
+    ORDER BY list_bytes DESC, term LIMIT 30
+"""
+
+
 # the index's consumer path: the reference writes TermEntry pages for
 # Library, which intersects per-term hit lists and relevance-sorts the
 # result (SURVEY §2 A5/A7's downstream reader).  Fixed deterministic
@@ -3541,6 +3677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_doc_stats": q_term_doc_stats,
         "tf_relevance": q_tf_relevance,
         "buffer_flush_model": q_buffer_flush_model,
+        "varint_postings": q_varint_postings,
         "search_topk": q_search_topk,
         "search_phrase": q_search_phrase,
         "search_snippet": q_search_snippet,
@@ -3628,6 +3765,7 @@ def oracle_sql() -> dict[str, str]:
         "term_doc_stats": SQL_TERM_DOC_STATS,
         "tf_relevance": SQL_TF_RELEVANCE,
         "buffer_flush_model": SQL_BUFFER_FLUSH_MODEL,
+        "varint_postings": SQL_VARINT_POSTINGS,
         "search_topk": SQL_SEARCH_TOPK,
         "search_phrase": SQL_SEARCH_PHRASE,
         "search_snippet": SQL_SEARCH_SNIPPET,
