@@ -86,6 +86,11 @@ HEADLINE = [
     "winnow_fingerprints",
     "recrawl_schedule",
     "host_quality",
+    "span_sequences",
+    "opic",
+    "url_traps",
+    "gopher_rules",
+    "varint_postings",
 ]
 
 CRAWL_ROUNDS = int(os.environ.get("SPIDER_BENCH_ROUNDS", "4"))
