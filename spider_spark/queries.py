@@ -635,6 +635,70 @@ SQL_VARINT_POSTINGS = f"""
 """
 
 
+_WAND_BLOCK = 64  # docs per block (docid-space partitioned)
+
+
+def q_wand_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-Max WAND skip metadata (Ding & Suel, SIGIR 2011) — the
+    per-(term, doc-block) maximum impact score a search engine
+    precomputes so query evaluation can skip whole blocks whose upper
+    bound can't reach the heap threshold.  Third leg of the
+    index-layout family: buffer_flush_model prices the RAM buffer,
+    varint_postings the on-disk lists, this the skip metadata the
+    lists carry.  Block = doc_id div 64 (docid-space, the layout the
+    d-gap coding in varint_postings already implies); impact = the
+    engine's TF relevance (occurrences/totalWords, Spider.java:714).
+
+    Bit-exactness: the impact is ONE IEEE division of two exact
+    integers, rounded to 6 before the max (max of identical doubles is
+    order-free); counts are integers.  Output is the global top-200
+    blocks by upper bound with a (term, block) tie-break — total
+    order, both engines cut the same rows.
+
+    Scale shape: one token scan → one (doc, term) hash-agg + per-doc
+    totals join (both map-side combinable) → one (term, block)
+    hash-agg — block count ≈ df/64 per term, so the metadata frame is
+    ~1.5% of the postings frame — → TakeOrderedAndProject top-200."""
+    toks = _tokens(spark, sf_dir)
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("total"))
+    rel = (
+        toks.groupBy("doc_id", "term").agg(F.count("*").alias("occ"))
+        .join(per_doc, "doc_id")
+        .select(
+            "term",
+            F.expr(f"doc_id div {_WAND_BLOCK}").cast("long").alias("block"),
+            F.round(F.col("occ").cast("double") / F.col("total"), 6)
+            .alias("rel"),
+        )
+    )
+    return (
+        rel.groupBy("term", "block")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("rel").alias("block_max"),
+        )
+        .orderBy(F.col("block_max").desc(), "term", "block")
+        .limit(200)
+    )
+
+
+SQL_WAND_BLOCKS = f"""
+    WITH t AS ({_TOKENS_SQL}),
+    per_doc AS (SELECT doc_id, COUNT(*) AS total FROM t GROUP BY doc_id),
+    rel AS (
+      SELECT t2.term, t2.doc_id // {_WAND_BLOCK} AS block,
+             ROUND(CAST(t2.occ AS DOUBLE) / d.total, 6) AS rel
+      FROM (SELECT doc_id, term, COUNT(*) AS occ
+            FROM t GROUP BY doc_id, term) t2
+      JOIN per_doc d USING (doc_id))
+    SELECT term, CAST(block AS BIGINT) AS block,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(rel) AS block_max
+    FROM rel GROUP BY term, block
+    ORDER BY block_max DESC, term, block LIMIT 200
+"""
+
+
 # the index's consumer path: the reference writes TermEntry pages for
 # Library, which intersects per-term hit lists and relevance-sorts the
 # result (SURVEY §2 A5/A7's downstream reader).  Fixed deterministic
@@ -3796,6 +3860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "varint_postings": q_varint_postings,
         "fasttext_quality": q_fasttext_quality,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "wand_blocks": q_wand_blocks,
         "search_topk": q_search_topk,
         "search_phrase": q_search_phrase,
         "search_snippet": q_search_snippet,
@@ -3886,6 +3951,7 @@ def oracle_sql() -> dict[str, str]:
         "varint_postings": SQL_VARINT_POSTINGS,
         "fasttext_quality": SQL_FASTTEXT_QUALITY,
         "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+        "wand_blocks": SQL_WAND_BLOCKS,
         "search_topk": SQL_SEARCH_TOPK,
         "search_phrase": SQL_SEARCH_PHRASE,
         "search_snippet": SQL_SEARCH_SNIPPET,
