@@ -1262,6 +1262,73 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_duplicates(d, max_hamming=8)
 
 
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash signature computation itself under the DuckDB hash
+    gate (upgrade mirroring minhash_portable): weighted 32-bit SimHash
+    (Charikar STOC'02 as deployed by Manku et al. WWW'07) over word
+    features with an engine-portable md5-prefix feature hash, plus the
+    four 8-bit pigeonhole bands the Hamming-≤k join buckets on.  The
+    production pair-finder (q_dedup_simhash, xxhash64-based, rows-only)
+    keeps the fast JVM hash; this query pins the signature ALGORITHM —
+    majority vote per bit over token multiplicity — bit-exactly across
+    engines.
+
+    Bit-exactness: per-bit counters are integer sums (order-free), the
+    majority vote an integer comparison (tie → 1 via 2·cnt ≥ n in both
+    engines), the signature an integer sum of disjoint powers of two.
+
+    Scale shape: ZERO shuffle — md5 once per token into a hash array,
+    ONE aggregate pass folding 32 zip_with counters, then a pure
+    projection; one row out per doc (a map stage at 100 TB)."""
+    d = _load(spark, sf_dir, "documents")
+    arr = "regexp_extract_all(lower(text), '[a-z0-9'']+', 0)"
+    hs = (f"transform({arr}, x -> "
+          "CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT))")
+    cnts = (f"aggregate({hs}, array_repeat(0L, 32), (acc, h) -> "
+            "zip_with(acc, transform(sequence(0, 31), "
+            "b -> shiftright(h, b) & 1L), (a, c) -> a + c))")
+    sim = (f"aggregate(zip_with({cnts}, sequence(0, 31), (c, b) -> "
+           f"IF(2 * c >= size({arr}), shiftleft(1L, b), 0L)), "
+           "0L, (a, x) -> a + x)")
+    return d.select(
+        "doc_id",
+        F.expr(f"CAST(size({arr}) AS BIGINT)").alias("n_feats"),
+        F.expr(sim).alias("simhash32"),
+        *[F.expr(f"shiftright({sim}, {8 * i}) & 255L").alias(f"band{i}")
+          for i in range(4)],
+    )
+
+
+SQL_SIMHASH_PORTABLE = r"""
+    WITH a AS (
+      SELECT doc_id,
+             list_transform(
+               regexp_extract_all(lower(text), '[a-z0-9'']+'),
+               x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hs,
+             len(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS n
+      FROM documents),
+    c AS (
+      SELECT doc_id, n,
+             list_transform(range(0, 32), b -> COALESCE(
+               list_sum(list_transform(hs, h -> (h >> b) & 1)), 0))
+               AS cnts
+      FROM a),
+    s AS (
+      SELECT doc_id, n,
+             CAST(COALESCE(list_sum(list_transform(range(0, 32),
+               b -> CASE WHEN 2 * cnts[b + 1] >= n
+                         THEN CAST(1 AS BIGINT) << b ELSE 0 END)), 0)
+               AS BIGINT) AS simhash32
+      FROM c)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_feats, simhash32,
+           CAST((simhash32 >> 0) & 255 AS BIGINT) AS band0,
+           CAST((simhash32 >> 8) & 255 AS BIGINT) AS band1,
+           CAST((simhash32 >> 16) & 255 AS BIGINT) AS band2,
+           CAST((simhash32 >> 24) & 255 AS BIGINT) AS band3
+    FROM s
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard on consecutive-id candidate pairs."""
     d = _load(spark, sf_dir, "documents")
@@ -3875,6 +3942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "minhash_portable": q_minhash_portable,
         "dedup_simhash": q_dedup_simhash,
+        "simhash_portable": q_simhash_portable,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "dedup_incremental": q_dedup_incremental,
@@ -3967,6 +4035,7 @@ def oracle_sql() -> dict[str, str]:
         # signatures over crc32/xxhash64, no SQL twin); the full LSH
         # algorithm is oracle-pinned via minhash_portable below
         "minhash_portable": SQL_MINHASH_PORTABLE,
+        "simhash_portable": SQL_SIMHASH_PORTABLE,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_components": SQL_DEDUP_COMPONENTS,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
