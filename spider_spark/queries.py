@@ -2312,6 +2312,81 @@ SQL_UNIGRAM_XENT = f"""
 """
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §3.3):
+    documents bucketed by LM score terciles — head = best third
+    (lowest perplexity), kept; middle kept-or-reweighted; tail usually
+    dropped.  The score is q_unigram_xent's unigram cross-entropy; the
+    cutoffs are the exact 1/3 and 2/3 percentiles of the rounded
+    score, computed once and broadcast — CCNet itself applies FIXED
+    percentile cutoffs computed from the score distribution, so a
+    1-row aggregate + per-row CASE is the authentic shape, NOT a
+    global sort/ntile (which would single-partition at 100 TB; the
+    100-TB variant swaps exact `percentile` for the mergeable
+    `approx_percentile` sketch, everything else unchanged).
+
+    Determinism: interpolated (quantile_cont-style) cutoffs are NOT
+    engine-portable here — when the interpolation lands between tied
+    score values, `(1-f)·a + f·a` rounds differently per engine and a
+    one-ULP cutoff drift flips every doc sitting exactly on the tie
+    (observed at sf0.1).  So the cutoffs are rank-based DATA VALUES
+    (quantile_disc semantics): v_p = the smallest score whose
+    cumulative doc count reaches ceil(p·n), all-integer arithmetic,
+    bit-identical engines by construction.
+
+    Scale shape: the nll frame (one broadcast-join + per-doc agg, see
+    q_unigram_xent) → one hash-agg onto the DISTINCT rounded-score
+    frame (≲10⁵ rows at any corpus size: 4-decimal grid) → a window
+    cumsum over that tiny frame (the vocab_coverage K-row-window
+    shape, not a corpus-wide sort) → 1-row cutoffs broadcast →
+    zero-shuffle projection."""
+    nll = q_unigram_xent(spark, sf_dir)
+    vals = nll.groupBy("unigram_nll").agg(F.count("*").alias("_c"))
+    w = Window.orderBy("unigram_nll").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = vals.select(
+        "unigram_nll", F.sum("_c").over(w).alias("_cum"))
+    tot = vals.agg(F.sum("_c").cast("long").alias("_n"))
+    cuts = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(F.when(F.col("_cum") >= F.expr("(_n + 2) div 3"),
+                         F.col("unigram_nll"))).alias("c1"),
+            F.min(F.when(F.col("_cum") >= F.expr("(2 * _n + 2) div 3"),
+                         F.col("unigram_nll"))).alias("c2"),
+        )
+    )
+    return nll.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "n_tokens", "unigram_nll",
+        F.when(F.col("unigram_nll") <= F.col("c1"), "head")
+        .when(F.col("unigram_nll") <= F.col("c2"), "middle")
+        .otherwise("tail").alias("bucket"),
+    )
+
+
+SQL_CCNET_BUCKETS = f"""
+    WITH nll AS ({SQL_UNIGRAM_XENT}),
+    vals AS (SELECT unigram_nll, COUNT(*) AS c
+             FROM nll GROUP BY unigram_nll),
+    cum AS (SELECT unigram_nll,
+                   SUM(c) OVER (ORDER BY unigram_nll
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM vals),
+    tot AS (SELECT SUM(c) AS n FROM vals),
+    cuts AS (SELECT
+               MIN(CASE WHEN cum >= (n + 2) // 3
+                        THEN unigram_nll END) AS c1,
+               MIN(CASE WHEN cum >= (2 * n + 2) // 3
+                        THEN unigram_nll END) AS c2
+             FROM cum CROSS JOIN tot)
+    SELECT doc_id, n_tokens, unigram_nll,
+           CASE WHEN unigram_nll <= c1 THEN 'head'
+                WHEN unigram_nll <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM nll CROSS JOIN cuts
+"""
+
+
 _DSIR_BUCKETS = 1024
 _DSIR_TARGET_LANG = "en"
 
@@ -3971,6 +4046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "filter_decisions": q_filter_decisions,
         "unigram_xent": q_unigram_xent,
+        "ccnet_buckets": q_ccnet_buckets,
         "bpe_pairs": q_bpe_pairs,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -4063,6 +4139,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": SQL_PII_SCRUB,
         "filter_decisions": SQL_FILTER_DECISIONS,
         "unigram_xent": SQL_UNIGRAM_XENT,
+        "ccnet_buckets": SQL_CCNET_BUCKETS,
         "bpe_pairs": SQL_BPE_PAIRS,
         # bpe_merges / bpe_encode: rows-only (iterative greedy merge
         # loop; pinned against a pure-Python Sennrich reference in
