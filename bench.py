@@ -91,6 +91,11 @@ HEADLINE = [
     "url_traps",
     "gopher_rules",
     "varint_postings",
+    "fasttext_quality",
+    "tokenizer_fertility",
+    "wand_blocks",
+    "simhash_portable",
+    "ccnet_buckets",
 ]
 
 CRAWL_ROUNDS = int(os.environ.get("SPIDER_BENCH_ROUNDS", "4"))
