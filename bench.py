@@ -96,6 +96,7 @@ HEADLINE = [
     "wand_blocks",
     "simhash_portable",
     "ccnet_buckets",
+    "filter_funnel",
 ]
 
 CRAWL_ROUNDS = int(os.environ.get("SPIDER_BENCH_ROUNDS", "4"))

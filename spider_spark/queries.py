@@ -3087,6 +3087,113 @@ SQL_FILTER_DECISIONS = r"""
 """
 
 
+_FUNNEL_STAGES = ("all", "length", "stopwords", "punctuation",
+                  "repetition", "classifier", "dedup")
+
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline funnel report — per-stage survivor counts through
+    the quality-gate chain in its canonical order (length → stopword
+    density → punctuation → repetition → model classifier → dedup),
+    the ablation table every corpus paper publishes (C4 Table 1,
+    Gopher A1, RefinedWeb Fig. 2 all report exactly this).  Stages
+    compose the SAME operators the standalone queries pin:
+    filter_decisions' four rules, fasttext_quality's keep flag, and
+    dedup_prefix's canonical-doc rule (doc_id == min over the prefix
+    fingerprint group), so the funnel also cross-checks their
+    composition.
+
+    Bit-exactness: survivor counts are integer sums of boolean
+    conjunctions over bit-identical inputs.  Scale shape: the
+    per-stage flags are the standalone queries' plans (zero-shuffle
+    projections + the repetition/dedup hash-aggs they already pay),
+    fused by two doc_id joins; the funnel itself is ONE 1-row
+    aggregate unpivoted to 7 rows — nothing new shuffles."""
+    fd = q_filter_decisions(spark, sf_dir).select("doc_id", "reasons")
+    ft = q_fasttext_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("_ft"))
+    d = _load(spark, sf_dir, "documents")
+    key = F.md5(F.substring(
+        F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 120))
+    canon = (
+        d.select("doc_id", key.alias("_k"))
+        .groupBy("_k").agg(F.min("doc_id").alias("_canon"))
+    )
+    j = (
+        fd.join(ft, "doc_id")
+        .join(d.select("doc_id", key.alias("_k")), "doc_id")
+        .join(canon, "_k")
+        .select(
+            "doc_id",
+            (~F.col("reasons").contains("too_short")).alias("p1"),
+            (~F.col("reasons").contains("low_stopword")).alias("p2"),
+            (~F.col("reasons").contains("high_punct")).alias("p3"),
+            (~F.col("reasons").contains("repetitive")).alias("p4"),
+            F.col("_ft").alias("p5"),
+            (F.col("doc_id") == F.col("_canon")).alias("p6"),
+        )
+    )
+    cnt = j.agg(
+        F.count("*").cast("long").alias("c0"),
+        *[
+            F.sum(
+                F.when(
+                    F.expr(" AND ".join(f"p{i}" for i in range(1, k + 1))),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias(f"c{k}")
+            for k in range(1, 7)
+        ],
+    )
+    stages = ", ".join(
+        f"{i}, '{n}', c{i}" for i, n in enumerate(_FUNNEL_STAGES))
+    return cnt.select(
+        F.expr(f"stack(7, {stages})")
+        .alias("stage", "gate", "survivors")
+    ).select(
+        F.col("stage").cast("long").alias("stage"), "gate", "survivors")
+
+
+def _funnel_sql() -> str:
+    conj = {k: " AND ".join(f"p{i}" for i in range(1, k + 1))
+            for k in range(1, 7)}
+    rows = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS stage, '{n}' AS gate, "
+        f"c{i} AS survivors FROM s"
+        for i, n in enumerate(_FUNNEL_STAGES))
+    return f"""
+    WITH fd AS ({SQL_FILTER_DECISIONS}),
+    ft AS ({SQL_FASTTEXT_QUALITY}),
+    ck AS (
+      SELECT doc_id,
+             md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')),
+                        1, 120)) AS k
+      FROM documents),
+    canon AS (SELECT k, MIN(doc_id) AS canon FROM ck GROUP BY k),
+    j AS (
+      SELECT fd.doc_id,
+             NOT contains(fd.reasons, 'too_short') AS p1,
+             NOT contains(fd.reasons, 'low_stopword') AS p2,
+             NOT contains(fd.reasons, 'high_punct') AS p3,
+             NOT contains(fd.reasons, 'repetitive') AS p4,
+             ft.keep AS p5,
+             ck.doc_id = canon.canon AS p6
+      FROM fd JOIN ft ON fd.doc_id = ft.doc_id
+      JOIN ck ON fd.doc_id = ck.doc_id
+      JOIN canon ON ck.k = canon.k),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+             {", ".join(
+                 f"CAST(SUM(CASE WHEN {conj[k]} THEN 1 ELSE 0 END) "
+                 f"AS BIGINT) AS c{k}" for k in range(1, 7))}
+      FROM j)
+    {rows}
+"""
+
+
+SQL_FILTER_FUNNEL = _funnel_sql()
+
+
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length quantiles (p50/p90/p99 of n_chars) —
     the length-filter tuning table next to length_histogram's fixed
@@ -4047,6 +4154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_decisions": q_filter_decisions,
         "unigram_xent": q_unigram_xent,
         "ccnet_buckets": q_ccnet_buckets,
+        "filter_funnel": q_filter_funnel,
         "bpe_pairs": q_bpe_pairs,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -4140,6 +4248,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_decisions": SQL_FILTER_DECISIONS,
         "unigram_xent": SQL_UNIGRAM_XENT,
         "ccnet_buckets": SQL_CCNET_BUCKETS,
+        "filter_funnel": SQL_FILTER_FUNNEL,
         "bpe_pairs": SQL_BPE_PAIRS,
         # bpe_merges / bpe_encode: rows-only (iterative greedy merge
         # loop; pinned against a pure-Python Sennrich reference in
