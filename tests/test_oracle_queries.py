@@ -76,3 +76,40 @@ def test_recrawl_schedule_plan(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "Python" not in plan
+
+
+def test_filter_funnel_monotone(spark, sf_dir):
+    """Funnel invariants: stage 0 counts every document, survivor
+    counts never increase along the chain, and the final stage agrees
+    with AND-ing the standalone gates."""
+    rows = {r["stage"]: r["survivors"]
+            for r in Q.queries()["filter_funnel"](spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(7))
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert rows[0] == n_docs
+    assert all(rows[k] <= rows[k - 1] for k in range(1, 7))
+    assert rows[6] > 0
+
+
+def test_simhash_bands_recombine(spark, sf_dir):
+    """The four 8-bit bands are a partition of the 32-bit signature."""
+    df = Q.queries()["simhash_portable"](spark, sf_dir)
+    bad = df.filter(
+        "simhash32 != band0 + band1 * 256 + band2 * 65536 "
+        "+ band3 * 16777216").count()
+    assert bad == 0
+    rng = df.filter("simhash32 < 0 OR simhash32 > 4294967295").count()
+    assert rng == 0
+
+
+def test_varint_postings_bounds(spark, sf_dir):
+    """Byte-model sanity: each term's encoded size is at least one
+    byte per posting plus one doc-gap+count byte pair per doc, and at
+    most 5 bytes per (posting + 2·doc) — the vByte extremes."""
+    rows = Q.queries()["varint_postings"](spark, sf_dir).collect()
+    assert rows, "top-30 frame came back empty"
+    for r in rows:
+        lo = r["n_postings"] + 2 * r["df"]
+        hi = 5 * (r["n_postings"] + 2 * r["df"])
+        assert lo <= r["list_bytes"] <= hi, r
+        assert r["df"] <= r["n_postings"]
