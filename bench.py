@@ -97,6 +97,7 @@ HEADLINE = [
     "simhash_portable",
     "ccnet_buckets",
     "filter_funnel",
+    "trustrank",
 ]
 
 CRAWL_ROUNDS = int(os.environ.get("SPIDER_BENCH_ROUNDS", "4"))

@@ -3609,6 +3609,68 @@ SQL_PAGERANK = (
 """)
 
 
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over the media-link graph (Gyöngyi/Garcia-Molina/
+    Pedersen, VLDB 2004) — the spam-control axis of the frontier
+    trio: pagerank ranks global importance, opic ranks online
+    importance, trustrank DEMOTES pages far from a trusted seed set
+    (teleport mass lands only on seeds; trust decays with link
+    distance).  Seeds: nodes whose URL ends in '0' (doc_id % 10 == 0
+    — a deterministic ~10% "hand-vetted" set both engines derive
+    identically from the node string itself).  3 damped iterations;
+    scores scaled by the seed count so the output is O(1)-magnitude,
+    round(6).
+
+    The oracle unrolls the same 3 iterations as chained CTEs over the
+    identical lead-window edge derivation (same contract as pagerank;
+    per-dst float sums have 3 terms and round(6) absorbs ULP drift).
+
+    Scale shape: identical to pagerank — cached (src, dst, out_deg)
+    edge list, one map-side-combined groupBy per iteration, trust
+    frame one row per node, seed flag riding the node frame."""
+    from .analytics import graph
+    edges = _media_edges(spark, sf_dir)
+    seeds = (edges.select(F.col("src").alias("node")).distinct()
+             .filter(F.col("node").endswith("0")))
+    t = graph.trustrank(edges, seeds, iterations=3, damping=0.85)
+    n_seeds = seeds.count()
+    return t.select(
+        F.col("node").alias("url"),
+        F.round(F.col("trust") * F.lit(float(n_seeds)), 6).alias("trust"),
+    )
+
+
+_TR_ITER_SQL = """
+    t{K} AS (
+      SELECT u.url AS node,
+             CASE WHEN u.url LIKE '%0'
+                  THEN 0.15 / (SELECT COUNT(*) FROM u WHERE url LIKE '%0')
+                  ELSE 0.0 END
+             + 0.85 * coalesce(s.inflow, 0.0) AS trust
+      FROM u LEFT JOIN (
+        SELECT e.dst, SUM(t{P}.trust / 3) AS inflow
+        FROM e JOIN t{P} ON e.src = t{P}.node
+        GROUP BY e.dst) s
+      ON u.url = s.dst)
+"""
+
+SQL_TRUSTRANK = (
+    "WITH " + _EDGES_SQL + """,
+    t0 AS (SELECT url AS node,
+                  CASE WHEN url LIKE '%0'
+                       THEN 1.0 / (SELECT COUNT(*) FROM u
+                                   WHERE url LIKE '%0')
+                       ELSE 0.0 END AS trust FROM u),
+    """
+    + ",\n".join(_TR_ITER_SQL.format(K=k, P=k - 1) for k in range(1, 4))
+    + """
+    SELECT node AS url,
+           ROUND(trust * (SELECT COUNT(*) FROM u WHERE url LIKE '%0'), 6)
+             AS trust
+    FROM t3
+""")
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the media-link graph (Kleinberg,
     JACM 46(5) 1999) — the second classic frontier-prioritization
@@ -4169,6 +4231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ref_dedup": q_media_ref_dedup,
         "anchor_texts": q_anchor_texts,
         "pagerank": q_pagerank,
+        "trustrank": q_trustrank,
         "hits": q_hits,
         "opic": q_opic,
         "dsir_weights": q_dsir_weights,
@@ -4257,6 +4320,7 @@ def oracle_sql() -> dict[str, str]:
         "media_ref_dedup": SQL_MEDIA_REF_DEDUP,
         "anchor_texts": SQL_ANCHOR_TEXTS,
         "pagerank": SQL_PAGERANK,
+        "trustrank": SQL_TRUSTRANK,
         "hits": SQL_HITS,
         "opic": SQL_OPIC,
         "dsir_weights": SQL_DSIR_WEIGHTS,
