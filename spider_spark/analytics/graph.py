@@ -44,6 +44,7 @@ def pagerank(
     checkpoint_every: int = 0,
     n_nodes: int | None = None,
     assume_no_dangling: bool = False,
+    assume_unique_nodes: bool = False,
 ) -> DataFrame:
     """Damped PageRank over ``edges(src, dst)`` (parallel edges count
     as repeated endorsements, matching the random-surfer model).
@@ -68,8 +69,13 @@ def pagerank(
         nodes = e.select(F.col("src").alias("node")).union(
             e.select(F.col("dst").alias("node"))).distinct()
     else:
+        # assume_unique_nodes=True skips the dedup shuffle when the
+        # caller's frame is one row per node by construction (e.g. a
+        # projection of a primary-key column)
         nodes = nodes.select(F.col(nodes.columns[0]).cast("string")
-                             .alias("node")).distinct()
+                             .alias("node"))
+        if not assume_unique_nodes:
+            nodes = nodes.distinct()
     nodes = nodes.cache()
     if n_nodes is None:
         n_nodes = nodes.count()  # one job; the scalar parameterizes the plan
@@ -241,7 +247,7 @@ def hits(edges: DataFrame, *, iterations: int = 2) -> DataFrame:
 
 
 def opic(edges: DataFrame, *, iterations: int = 3,
-         cash0: float = 1.0) -> DataFrame:
+         cash0: float = 1.0, nodes: DataFrame | None = None) -> DataFrame:
     """OPIC — On-line Page Importance Computation (Abiteboul, Preda,
     Cobena, WWW 2003, "Adaptive On-Line Page Importance Computation")
     in its synchronous batch form: every node starts with ``cash0``
@@ -273,12 +279,16 @@ def opic(edges: DataFrame, *, iterations: int = 3,
                      F.col("dst").cast("string").alias("dst"))
     od = e.groupBy("src").agg(F.count("*").alias("_od"))
     e = e.join(od, "src").cache()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .cache()
-    )
+    if nodes is None:
+        nodes = e.select(F.col("src").alias("node")).union(
+            e.select(F.col("dst").alias("node"))).distinct()
+    else:
+        # caller-supplied vertex frame (must cover every endpoint and
+        # hold one row per node) — lets a corpus whose node ids are
+        # already unique skip the union+distinct shuffle entirely
+        nodes = nodes.select(
+            F.col(nodes.columns[0]).cast("string").alias("node"))
+    nodes = nodes.cache()
     cash = nodes.select("node", F.lit(float(cash0)).alias("cash"))
     hist = nodes.select("node", F.lit(0.0).alias("history"))
     for _ in range(iterations):
@@ -308,6 +318,7 @@ def trustrank(
     iterations: int = 3,
     damping: float = 0.85,
     n_seeds: int | None = None,
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
     """TrustRank (Gyöngyi, Garcia-Molina, Pedersen, VLDB 2004):
     personalized PageRank whose teleport mass lands ONLY on a trusted
@@ -337,11 +348,16 @@ def trustrank(
         F.col(seeds.columns[0]).cast("string").alias("node"),
         F.lit(True).alias("_seed"),
     ).distinct()
+    if nodes is None:
+        nodes = e.select(F.col("src").alias("node")).union(
+            e.select(F.col("dst").alias("node"))).distinct()
+    else:
+        # caller-supplied vertex frame (one unique row per node,
+        # covering every endpoint) — skips the union+distinct shuffle
+        nodes = nodes.select(
+            F.col(nodes.columns[0]).cast("string").alias("node"))
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .join(s, "node", "left")
+        nodes.join(s, "node", "left")
         .select("node", F.coalesce("_seed", F.lit(False)).alias("_seed"))
         .cache()
     )

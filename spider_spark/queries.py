@@ -3436,6 +3436,17 @@ SQL_SPAN_SEQUENCES = """
 """
 
 
+def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All node ids of the media-link graph as a ZERO-shuffle
+    projection: every doc is an edge source exactly once and every
+    media_ref is another doc's url, so the documents table's own url
+    column IS the vertex set — no union+distinct job.  Shared by the
+    pagerank/opic/trustrank callers."""
+    return _load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://"), F.col("source"),
+                 F.lit(".example/d/"), F.col("doc_id")).alias("node"))
+
+
 def _media_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link graph of the interleaved corpus: (src, dst) per media span
     — the single derivation behind media_ref_dedup, pagerank,
@@ -3573,12 +3584,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc emits exactly 3 media spans)."""
     from .analytics import graph
     edges = _media_edges(spark, sf_dir)
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # zero-shuffle vertex frame: doc urls are unique by construction
+    nodes = _doc_urls(spark, sf_dir)
     # every doc is an edge source exactly once, so |nodes| is the
     # documents row count — a parquet-footer read, no distinct job
     n = _load(spark, sf_dir, "documents").count()
     ranks = graph.pagerank(edges, nodes, iterations=5, damping=0.85,
-                           n_nodes=n, assume_no_dangling=True)
+                           n_nodes=n, assume_no_dangling=True,
+                           assume_unique_nodes=True)
     return ranks.select(
         F.col("node").alias("url"),
         F.round(F.col("rank") * F.lit(float(n)), 6).alias("pr"))
@@ -3630,9 +3643,12 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame one row per node, seed flag riding the node frame."""
     from .analytics import graph
     edges = _media_edges(spark, sf_dir)
-    seeds = (edges.select(F.col("src").alias("node")).distinct()
-             .filter(F.col("node").endswith("0")))
-    t = graph.trustrank(edges, seeds, iterations=3, damping=0.85)
+    # zero-shuffle vertex/seed frames: doc urls are unique by
+    # construction, seeds a pushed-down predicate on the same scan
+    nodes = _doc_urls(spark, sf_dir)
+    seeds = nodes.filter(F.col("node").endswith("0"))
+    t = graph.trustrank(edges, seeds, iterations=3, damping=0.85,
+                        nodes=nodes)
     n_seeds = seeds.count()
     return t.select(
         F.col("node").alias("url"),
@@ -3749,7 +3765,8 @@ def q_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement the north rule's edition-priority queue calls for."""
     from .analytics import graph
     scores = graph.opic(_media_edges(spark, sf_dir),
-                        iterations=_OPIC_ITERS, cash0=_OPIC_CASH0)
+                        iterations=_OPIC_ITERS, cash0=_OPIC_CASH0,
+                        nodes=_doc_urls(spark, sf_dir))
     denom = float((_OPIC_ITERS + 1) * _OPIC_CASH0)
     return scores.select(
         F.col("node").alias("url"),
