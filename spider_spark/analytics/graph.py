@@ -247,7 +247,8 @@ def hits(edges: DataFrame, *, iterations: int = 2) -> DataFrame:
 
 
 def opic(edges: DataFrame, *, iterations: int = 3,
-         cash0: float = 1.0, nodes: DataFrame | None = None) -> DataFrame:
+         cash0: float = 1.0, nodes: DataFrame | None = None,
+         assume_unique_nodes: bool = False) -> DataFrame:
     """OPIC — On-line Page Importance Computation (Abiteboul, Preda,
     Cobena, WWW 2003, "Adaptive On-Line Page Importance Computation")
     in its synchronous batch form: every node starts with ``cash0``
@@ -283,11 +284,15 @@ def opic(edges: DataFrame, *, iterations: int = 3,
         nodes = e.select(F.col("src").alias("node")).union(
             e.select(F.col("dst").alias("node"))).distinct()
     else:
-        # caller-supplied vertex frame (must cover every endpoint and
-        # hold one row per node) — lets a corpus whose node ids are
-        # already unique skip the union+distinct shuffle entirely
+        # caller-supplied vertex frame (must cover every endpoint);
+        # assume_unique_nodes=True skips the dedup shuffle when the
+        # caller's frame is one row per node by construction — same
+        # contract as pagerank's flag (duplicate rows would silently
+        # double a node's cash, so dedup is the default)
         nodes = nodes.select(
             F.col(nodes.columns[0]).cast("string").alias("node"))
+        if not assume_unique_nodes:
+            nodes = nodes.distinct()
     nodes = nodes.cache()
     cash = nodes.select("node", F.lit(float(cash0)).alias("cash"))
     hist = nodes.select("node", F.lit(0.0).alias("history"))
@@ -319,6 +324,7 @@ def trustrank(
     damping: float = 0.85,
     n_seeds: int | None = None,
     nodes: DataFrame | None = None,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """TrustRank (Gyöngyi, Garcia-Molina, Pedersen, VLDB 2004):
     personalized PageRank whose teleport mass lands ONLY on a trusted
@@ -327,10 +333,14 @@ def trustrank(
     fetch.  The spam-control prioritizer next to :func:`pagerank`
     (global importance) and :func:`opic` (online importance).
 
-    ``seeds``: one-column frame of trusted node ids (must be a subset
-    of the edge endpoints for mass conservation; extra ids still
-    receive teleport).  ``t0 = d``, ``t_{k+1} = (1-α)·d + α·Mᵀt_k``
-    with ``d`` uniform over seeds.
+    ``seeds``: one-column frame of trusted node ids.  Seed ids absent
+    from the node set are DROPPED (the left join keeps node-frame rows
+    only) and do not count toward the teleport denominator when
+    ``n_seeds`` is left to the internal count; pass only real nodes.
+    ``t0 = d``, ``t_{k+1} = (1-α)·d + α·Mᵀt_k`` with ``d`` uniform
+    over seeds.  ``assume_unique=True`` skips the dedup shuffles on
+    BOTH the seed frame and a caller-supplied ``nodes`` frame (same
+    contract as pagerank's ``assume_unique_nodes``).
 
     Dangling mass is NOT redistributed (the VLDB-04 formulation drops
     it); on the interleaved corpus graph every node has out-edges so
@@ -347,15 +357,20 @@ def trustrank(
     s = seeds.select(
         F.col(seeds.columns[0]).cast("string").alias("node"),
         F.lit(True).alias("_seed"),
-    ).distinct()
+    )
+    if not assume_unique:
+        s = s.distinct()
     if nodes is None:
         nodes = e.select(F.col("src").alias("node")).union(
             e.select(F.col("dst").alias("node"))).distinct()
     else:
-        # caller-supplied vertex frame (one unique row per node,
-        # covering every endpoint) — skips the union+distinct shuffle
+        # caller-supplied vertex frame covering every endpoint; dedup
+        # unless assume_unique (duplicate rows would silently double a
+        # node's teleport mass and output rows)
         nodes = nodes.select(
             F.col(nodes.columns[0]).cast("string").alias("node"))
+        if not assume_unique:
+            nodes = nodes.distinct()
     nodes = (
         nodes.join(s, "node", "left")
         .select("node", F.coalesce("_seed", F.lit(False)).alias("_seed"))

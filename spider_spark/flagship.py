@@ -31,13 +31,21 @@ from .engine import CrawlEngine
 from .state.store import SnapshotStore
 
 
+def doc_url_col():
+    """The documents table's canonical page-URL expression — the ONE
+    definition of the url scheme, shared by interleaved_view, the
+    media-graph node frames (queries._doc_urls) and anything else that
+    must agree with the edge endpoints byte-for-byte."""
+    return F.concat(F.lit("http://"), F.col("source"),
+                    F.lit(".example/d/"), F.col("doc_id"))
+
+
 def interleaved_view(d: DataFrame) -> DataFrame:
     """The interleaved text+media corpus (BASELINE.json input_hint
     shape) as a DataFrame expression over a documents table — shared
     by derive_corpus (which materializes it for the engine) and the
     span-level analytics queries (which consume it directly)."""
-    url = F.concat(F.lit("http://"), F.col("source"), F.lit(".example/d/"),
-                   F.col("doc_id"))
+    url = doc_url_col()
     w = Window.partitionBy("source").orderBy("doc_id")
     wrap = Window.partitionBy("source")
 

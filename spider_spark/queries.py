@@ -2733,9 +2733,9 @@ SQL_FASTTEXT_QUALITY = f"""
       FROM a),
     s AS (
       SELECT doc_id, len(feats) AS n_feats,
-             CAST(list_sum(list_transform(feats,
+             CAST(COALESCE(list_sum(list_transform(feats,
                x -> CAST('0x' || substr(md5(x), 1, 6) AS BIGINT)
-                    % {_FT_BUCKETS} - 1000)) AS BIGINT) AS sum_w
+                    % {_FT_BUCKETS} - 1000)), 0) AS BIGINT) AS sum_w
       FROM f)
     SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
            CAST(sum_w * 1000000 // greatest(n_feats, 1) AS BIGINT)
@@ -2758,7 +2758,9 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined hash agg keyed on lang (≤ #langs rows out)."""
     d = _load(spark, sf_dir, "documents")
     terms = "size(regexp_extract_all(lower(text), '[a-z0-9'']+', 0))"
-    ws = r"size(split(trim(text), '\\s+'))"
+    # split('') returns [''] — guard empty/whitespace-only docs to 0
+    ws = (r"CASE WHEN trim(text) = '' THEN 0 "
+          r"ELSE size(split(trim(text), '\\s+')) END")
     g = d.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars"),
@@ -2777,8 +2779,9 @@ SQL_TOKENIZER_FERTILITY = r"""
     WITH g AS (
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS chars,
-             CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
-                  AS BIGINT) AS ws_tokens,
+             CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                      END) AS BIGINT) AS ws_tokens,
              CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9'']+')))
                   AS BIGINT) AS terms
       FROM documents GROUP BY lang)
@@ -3441,10 +3444,12 @@ def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection: every doc is an edge source exactly once and every
     media_ref is another doc's url, so the documents table's own url
     column IS the vertex set — no union+distinct job.  Shared by the
-    pagerank/opic/trustrank callers."""
+    pagerank/opic/trustrank callers; the url expression itself is
+    flagship.doc_url_col(), the same definition the edge endpoints
+    are built from (no scheme drift possible)."""
+    from . import flagship
     return _load(spark, sf_dir, "documents").select(
-        F.concat(F.lit("http://"), F.col("source"),
-                 F.lit(".example/d/"), F.col("doc_id")).alias("node"))
+        flagship.doc_url_col().alias("node"))
 
 
 def _media_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3647,9 +3652,12 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction, seeds a pushed-down predicate on the same scan
     nodes = _doc_urls(spark, sf_dir)
     seeds = nodes.filter(F.col("node").endswith("0"))
-    t = graph.trustrank(edges, seeds, iterations=3, damping=0.85,
-                        nodes=nodes)
+    # count once, pass through — graph.trustrank would otherwise run
+    # its own internal seed-count job
     n_seeds = seeds.count()
+    t = graph.trustrank(edges, seeds, iterations=3, damping=0.85,
+                        nodes=nodes, n_seeds=n_seeds,
+                        assume_unique=True)
     return t.select(
         F.col("node").alias("url"),
         F.round(F.col("trust") * F.lit(float(n_seeds)), 6).alias("trust"),
@@ -3766,7 +3774,8 @@ def q_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics import graph
     scores = graph.opic(_media_edges(spark, sf_dir),
                         iterations=_OPIC_ITERS, cash0=_OPIC_CASH0,
-                        nodes=_doc_urls(spark, sf_dir))
+                        nodes=_doc_urls(spark, sf_dir),
+                        assume_unique_nodes=True)
     denom = float((_OPIC_ITERS + 1) * _OPIC_CASH0)
     return scores.select(
         F.col("node").alias("url"),

@@ -179,3 +179,63 @@ def test_opic_conserves_cash_without_dangling(spark):
     for r in rows:
         assert r["history"] == int(r["history"])
         assert r["cash"] == int(r["cash"])
+
+
+def _ref_trustrank(n, idx_edges, seeds, iterations, damping=0.85):
+    out = [[] for _ in range(n)]
+    for s, d in idx_edges:
+        out[s].append(d)
+    d0 = [1.0 / len(seeds) if i in seeds else 0.0 for i in range(n)]
+    t = list(d0)
+    for _ in range(iterations):
+        nxt = [(1.0 - damping) * d0[i] for i in range(n)]
+        for s in range(n):
+            if out[s]:
+                share = damping * t[s] / len(out[s])
+                for d in out[s]:
+                    nxt[d] += share
+        t = nxt
+    return t
+
+
+def test_trustrank_matches_dense_reference(spark):
+    names = ["a", "b", "c", "d"]
+    idx_edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0)]
+    ref = _ref_trustrank(4, idx_edges, seeds={0}, iterations=3)
+    rows = graph.trustrank(
+        _edges(spark, [(names[s], names[d]) for s, d in idx_edges]),
+        spark.createDataFrame([("a",)], ["node"]),
+        iterations=3,
+    ).collect()
+    got = {r["node"]: r["trust"] for r in rows}
+    for i, nm in enumerate(names):
+        assert got[nm] == pytest.approx(ref[i], abs=1e-12)
+
+
+def test_trustrank_mass_conserved_and_seed_floor(spark):
+    # no dangling nodes -> total trust stays exactly 1 per iteration;
+    # every seed keeps at least the teleport floor (1-d)/|S|
+    pairs = [("a", "b"), ("b", "c"), ("c", "a")]
+    seeds = spark.createDataFrame([("a",), ("b",)], ["node"])
+    rows = graph.trustrank(_edges(spark, pairs), seeds,
+                           iterations=4).collect()
+    got = {r["node"]: r["trust"] for r in rows}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    assert got["a"] >= 0.15 / 2 - 1e-12
+    assert got["b"] >= 0.15 / 2 - 1e-12
+
+
+def test_trustrank_empty_seeds_and_nodes_paths(spark):
+    pairs = [("a", "b"), ("b", "a")]
+    empty = spark.createDataFrame([], "node string")
+    rows = graph.trustrank(_edges(spark, pairs), empty, iterations=2).collect()
+    assert {tuple(r) for r in rows} == {("a", 0.0), ("b", 0.0)}
+    # caller-supplied nodes frame == derived-nodes result
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    nodes = spark.createDataFrame([("a",), ("b",)], ["node"])
+    derived = {tuple(r) for r in graph.trustrank(
+        _edges(spark, pairs), seeds, iterations=2).collect()}
+    supplied = {tuple(r) for r in graph.trustrank(
+        _edges(spark, pairs), seeds, iterations=2, nodes=nodes,
+        assume_unique=True).collect()}
+    assert derived == supplied
