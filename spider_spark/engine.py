@@ -96,6 +96,10 @@ class CrawlEngine:
         self.robots = robots
         self.hosts = hosts
         self.use_bloom = use_bloom
+        # one retention policy: archived as_of catalogs pin their dirs
+        # through gc, so the store's snapshot window must equal the
+        # engine's gc grace window or expiry could never reclaim space
+        self.store.snapshot_keep = self.config.gc_retain_rounds
         self._docs_df: DataFrame | None = None
 
     # -- frontier bucketing (Iceberg partition-overwrite analog) -----------

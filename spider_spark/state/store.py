@@ -62,14 +62,18 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 CATALOG = "_catalog.json"
+CATALOG_DIR = "_catalogs"  # archived per-round catalogs (time travel)
 PENDING = "_pending.json"
 LINEAGE_LOG = "lineage.jsonl"
 LINEAGE_KEEP = 64  # catalog keeps this many recent entries; totals roll up
+SNAPSHOT_KEEP = 8  # archived round catalogs retained (Iceberg
+#                    snapshot-retention analog; also the gc grace set)
 
 
 class SnapshotStore:
-    def __init__(self, root: str):
+    def __init__(self, root: str, snapshot_keep: int = SNAPSHOT_KEEP):
         self.root = root
+        self.snapshot_keep = snapshot_keep
         os.makedirs(root, exist_ok=True)
 
     # -- catalog -----------------------------------------------------------
@@ -77,13 +81,45 @@ class SnapshotStore:
     def _catalog_path(self) -> str:
         return os.path.join(self.root, CATALOG)
 
-    def read_catalog(self) -> dict[str, Any]:
+    def _archive_path(self, rnd: int) -> str:
+        return os.path.join(self.root, CATALOG_DIR, f"r{rnd:06d}.json")
+
+    def read_catalog(self, as_of: int | None = None) -> dict[str, Any]:
+        """The live catalog, or (``as_of=N``) the archived catalog of
+        round N — the Iceberg time-travel entry point.  The live round
+        is always resolvable even if its archive copy is missing (a
+        crash between the swap and the archive write loses only the
+        copy).  Raises ``KeyError`` for a round outside the retained
+        window, listing what IS retained."""
+        if as_of is not None:
+            p = self._archive_path(as_of)
+            if os.path.exists(p):
+                with open(p) as f:
+                    return json.load(f)
+            live = self.read_catalog()
+            if live["round"] == as_of:
+                return live
+            raise KeyError(
+                f"round {as_of} not retained; snapshots: {self.snapshots()}")
         p = self._catalog_path()
         if not os.path.exists(p):
             return {"round": 0, "tables": {}, "appends": {},
                     "lineage": [], "totals": {}}
         with open(p) as f:
             return json.load(f)
+
+    def snapshots(self) -> list[int]:
+        """Rounds readable via ``as_of`` (archived + the live round)."""
+        d = os.path.join(self.root, CATALOG_DIR)
+        rounds = set()
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                if name.startswith("r") and name.endswith(".json"):
+                    rounds.add(int(name[1:-5]))
+        p = self._catalog_path()
+        if os.path.exists(p):
+            rounds.add(self.read_catalog()["round"])
+        return sorted(rounds)
 
     def _swap_catalog(self, cat: dict[str, Any]) -> None:
         self._atomic_write_json(self._catalog_path(), cat, indent=1)
@@ -112,11 +148,16 @@ class SnapshotStore:
 
     # -- reads -------------------------------------------------------------
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+    def read(self, spark: SparkSession, table: str,
+             as_of: int | None = None) -> DataFrame | None:
         """Current contents, or None for a missing/empty table (an empty
         bucketed commit — e.g. a bootstrap over an empty seed list —
-        legitimately produces a buckets entry with no dirs)."""
-        cat = self.read_catalog()
+        legitimately produces a buckets entry with no dirs).
+
+        ``as_of=N`` reads the table as of round N's commit (Iceberg
+        time travel) — valid for any round in :meth:`snapshots`, whose
+        files gc_orphans retains."""
+        cat = self.read_catalog(as_of=as_of)
         if table in cat["tables"]:
             return spark.read.parquet(os.path.join(self.root, cat["tables"][table]))
         bucketed = cat.get("buckets", {}).get(table)
@@ -346,14 +387,30 @@ class SnapshotStore:
         # audit log append (non-atomic by design — see module docstring)
         with open(os.path.join(self.root, LINEAGE_LOG), "a") as f:
             f.write(json.dumps(entry) + "\n")
-        self._swap_catalog({
+        new_cat = {
             "round": rnd,
             "tables": new_tables,
             "appends": new_appends,
             "buckets": new_buckets,
             "lineage": lineage[-LINEAGE_KEEP:],
             "totals": totals,
-        })
+        }
+        self._swap_catalog(new_cat)
+        # archive the committed catalog for as_of reads (AFTER the
+        # swap: a crash in between loses only the archive copy, never
+        # creates a phantom round) and prune beyond the retention
+        # window — gc_orphans keeps every dir a retained archive
+        # references, so an as_of reader's files outlive the round
+        if self.snapshot_keep > 0:
+            os.makedirs(os.path.join(self.root, CATALOG_DIR), exist_ok=True)
+            self._atomic_write_json(self._archive_path(rnd), new_cat,
+                                    indent=1)
+            for old in self.snapshots():
+                if old <= rnd - self.snapshot_keep:
+                    try:
+                        os.unlink(self._archive_path(old))
+                    except FileNotFoundError:
+                        pass
         # phase 2 complete: the NOT_PUSHED window is closed.  A crash
         # BETWEEN the swap and this unlink leaves a marker whose round
         # equals the committed round — pending_round() ignores it.
@@ -437,19 +494,31 @@ class SnapshotStore:
                     return int(part)
             return -1
 
-        live = set(cat["tables"].values())
-        for segs in cat["appends"].values():
-            live.update(segs)
-        for b in cat.get("buckets", {}).values():
-            live.update(b["dirs"].values())  # leaf bucket=N dirs
+        cats = [cat]
+        # retained archived catalogs pin their referenced dirs: an
+        # as_of reader (or one that opened a previous catalog mid-
+        # commit) must never lose files within the retention window
+        for rnd in self.snapshots():
+            if rnd != current:
+                try:
+                    cats.append(self.read_catalog(as_of=rnd))
+                except (KeyError, json.JSONDecodeError):
+                    continue
+        live: set[str] = set()
+        for c in cats:
+            live.update(c["tables"].values())
+            for segs in c["appends"].values():
+                live.update(segs)
+            for b in c.get("buckets", {}).values():
+                live.update(b["dirs"].values())  # leaf bucket=N dirs
         removed = []
         for table in os.listdir(self.root):
             tdir = os.path.join(self.root, table)
-            if not os.path.isdir(tdir):
-                continue
+            if not os.path.isdir(tdir) or table == CATALOG_DIR:
+                continue  # control files/dirs are not snapshot tables
             for snap in os.listdir(tdir):
                 rel = f"{table}/{snap}"
-                if rel in live:
+                if rel in live or not os.path.isdir(os.path.join(tdir, snap)):
                     continue
                 if keep_recent and _dir_round(snap) > current - keep_recent:
                     continue

@@ -137,3 +137,44 @@ def test_not_pushed_window_visible_and_recovered(spark, corpus_dir, corpus,
     # the window's distribution summed over the PRE-replay frontier
     # (the replayed round then admits new rows on top of `total`)
     assert total <= sum(counts2.values())
+
+
+def test_time_travel_reads(spark, corpus_dir, corpus, crawl_config, tmp_path):
+    """Iceberg-analog snapshot retention: archived round catalogs are
+    readable via as_of, their files survive gc for the retention
+    window, and pruning keeps the window bounded."""
+    import dataclasses
+    cfg = dataclasses.replace(crawl_config, gc_retain_rounds=3)
+    eng = _mk_engine(spark, corpus_dir, cfg, str(tmp_path / "tt"))
+    eng.bootstrap(corpus["seeds"])
+    store = eng.store
+    per_round = {}
+    for _ in range(4):
+        eng.run_round()
+        rnd = store.current_round
+        per_round[rnd] = store.read(spark, "frontier").count()
+
+    snaps = store.snapshots()
+    assert store.current_round in snaps
+    assert len(snaps) <= cfg.gc_retain_rounds
+    # archived rounds resolve to their historical contents even after
+    # the per-round gc that eng.run_round already triggers
+    for rnd in snaps:
+        cat = store.read_catalog(as_of=rnd)
+        assert cat["round"] == rnd
+        if rnd in per_round:
+            assert store.read(spark, "frontier", as_of=rnd).count() \
+                == per_round[rnd]
+    # a pruned round raises with the retained listing
+    oldest_pruned = min(per_round) if min(per_round) not in snaps else None
+    if oldest_pruned is not None:
+        try:
+            store.read_catalog(as_of=oldest_pruned)
+            raise AssertionError("pruned round should not resolve")
+        except KeyError:
+            pass
+    # historical frontier differs from the live one across rounds
+    if len(snaps) >= 2:
+        a, b = snaps[0], snaps[-1]
+        assert store.read(spark, "frontier", as_of=a).count() \
+            <= store.read(spark, "frontier", as_of=b).count()

@@ -284,7 +284,11 @@ def test_snapshot_expiry_bounds_store_dirs(spark, corpus_dir, corpus,
     # without gc it grows by >= 2 dirs (frontier snap + postings seg)
     # every round, i.e. the last 4 rounds would add >= 8
     assert counts[-1] - counts[-5] < 8
-    assert max(counts) < counts[0] + 14
+    # absolute cap: the base working set plus what the time-travel
+    # retention window pins — each retained archived catalog keeps one
+    # round's superseded dirs alive for as_of readers (store.gc_orphans
+    # unions live sets over the snapshot window)
+    assert max(counts) < counts[0] + 14 + 6 * (cfg.gc_retain_rounds - 1)
     # the grace window holds: every dir the CURRENT catalog references
     # exists, and reads work
     cat = eng.store.read_catalog()
