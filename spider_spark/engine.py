@@ -849,6 +849,17 @@ class CrawlEngine:
     def crawl_log(self) -> DataFrame | None:
         return self.store.read(self.spark, "crawl_log")
 
+    def postings_delta(self, since_round: int) -> DataFrame | None:
+        """Postings accumulated after ``since_round`` — the reference's
+        push loop (LibraryBuffer.java:160-188 sends only the buffer
+        gathered since the last successful push; a consumer here calls
+        this with the round of its last push).  Pure segment pruning
+        via the store's incremental scan: no full-table read at any
+        frontier size.  ``since_round`` must be within the retained
+        snapshot window (``store.snapshots()``)."""
+        return self.store.read_changes(self.spark, "postings",
+                                       since=since_round)
+
     def status_counts(self, include_not_pushed: bool = True) -> DataFrame:
         """UI status summary (web/MainPage.java:122-131 analog).
 

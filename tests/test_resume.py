@@ -218,6 +218,16 @@ def test_incremental_reads(spark, corpus_dir, corpus, crawl_config,
         sorted(map(key, oracle.collect()))
     assert fd.count() > 0
 
+    # engine push-delta wrapper (LibraryBuffer push analog): the
+    # postings gathered after round a ≡ full@b minus full@a
+    pd_ = eng.postings_delta(a)
+    p_new = store.read(spark, "postings", as_of=b)
+    p_old = store.read(spark, "postings", as_of=a)
+    p_oracle = p_new.exceptAll(p_old) if p_old is not None else p_new
+    pkey = lambda r: (r["term"], r["doc_id"], tuple(r["positions"]))
+    assert sorted(map(pkey, pd_.collect())) == \
+        sorted(map(pkey, p_oracle.collect()))
+
     # no-op window and bad rounds
     assert store.read_changes(spark, "frontier", since=b, as_of=b) is None
     try:
