@@ -103,7 +103,13 @@ class CrawlConfig:
     # snapshot expiry (Iceberg expire_snapshots analog): when an append
     # compaction runs, unreferenced snapshot dirs older than this many
     # rounds are removed (store.gc_orphans keep_recent).  Superseded
-    # bucket dirs otherwise accumulate forever.  0 disables expiry.
+    # bucket dirs otherwise accumulate forever.  Doubles as the store's
+    # snapshot-retention window (engine sets store.snapshot_keep to it):
+    # as_of / read_changes resolve exactly this many trailing rounds,
+    # and gc pins every dir a retained archive references — one
+    # coherent policy, like Iceberg's expire_snapshots retain-last.
+    # 0 disables both expiry and catalog archiving (time travel then
+    # resolves only the live round).
     gc_retain_rounds: int = 2
     respect_robots: bool = True
 
