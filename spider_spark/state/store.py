@@ -60,6 +60,7 @@ import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 CATALOG = "_catalog.json"
 CATALOG_DIR = "_catalogs"  # archived per-round catalogs (time travel)
@@ -121,6 +122,23 @@ class SnapshotStore:
             rounds.add(self.read_catalog()["round"])
         return sorted(rounds)
 
+    def _table_schema(self, cat: dict[str, Any],
+                      table: str) -> StructType | None:
+        """The schema committed for ``table`` in this catalog (data
+        columns only — partition columns are dir-encoded), or None for
+        catalogs written before schema tracking.  Reads apply it
+        explicitly, which is what makes ADDITIVE SCHEMA EVOLUTION safe
+        on a partial-rewrite table (Iceberg schema-on-catalog analog):
+        a commit that adds a nullable column rewrites only its touched
+        buckets; untouched buckets keep old-schema files, and the
+        explicit read schema projects them with nulls instead of
+        leaving the result to name-based inference over mixed files
+        (which samples one file and drops or mistypes the rest).  At
+        10^10 rows this is the difference between evolving in one
+        commit and rewriting the whole table."""
+        s = cat.get("schemas", {}).get(table)
+        return StructType.fromJson(s) if s is not None else None
+
     def _swap_catalog(self, cat: dict[str, Any]) -> None:
         self._atomic_write_json(self._catalog_path(), cat, indent=1)
 
@@ -158,8 +176,18 @@ class SnapshotStore:
         time travel) — valid for any round in :meth:`snapshots`, whose
         files gc_orphans retains."""
         cat = self.read_catalog(as_of=as_of)
+        schema = self._table_schema(cat, table)
+
+        def _rd(recursive=False):
+            r = spark.read
+            if schema is not None:
+                r = r.schema(schema)
+            if recursive:
+                r = r.option("recursiveFileLookup", "true")
+            return r
+
         if table in cat["tables"]:
-            return spark.read.parquet(os.path.join(self.root, cat["tables"][table]))
+            return _rd().parquet(os.path.join(self.root, cat["tables"][table]))
         bucketed = cat.get("buckets", {}).get(table)
         if bucketed is not None:
             paths = [os.path.join(self.root, p) for p in bucketed["dirs"].values()]
@@ -169,11 +197,10 @@ class SnapshotStore:
             # (``_pstatus=...``) leaf dirs; partition-column inference
             # over many partition-named roots conflicts, and we prune at
             # the path level ourselves (status stays a data column)
-            return (spark.read.option("recursiveFileLookup", "true")
-                    .parquet(*paths))
+            return _rd(recursive=True).parquet(*paths)
         segs = cat["appends"].get(table)
         if segs:
-            return spark.read.parquet(*[os.path.join(self.root, s) for s in segs])
+            return _rd().parquet(*[os.path.join(self.root, s) for s in segs])
         return None
 
     def read_changes(
@@ -217,10 +244,18 @@ class SnapshotStore:
         if since == as_of:
             return None
 
+        # both sides of the diff read under the TO-side schema, so a
+        # delta across an additive-evolution boundary compares the old
+        # version projected into the new schema (nulls for new cols)
+        # instead of failing on a column-count mismatch in exceptAll
+        schema = self._table_schema(to_cat, table)
+
         def _read(paths, recursive=False):
             if not paths:
                 return None
             r = spark.read
+            if schema is not None:
+                r = r.schema(schema)
             if recursive:
                 r = r.option("recursiveFileLookup", "true")
             return r.parquet(*[os.path.join(self.root, p) for p in paths])
@@ -260,7 +295,8 @@ class SnapshotStore:
             if from_cat["tables"].get(table) == to_cat["tables"][table]:
                 return None
             new_df = _read([to_cat["tables"][table]])
-            old_df = self.read(spark, table, as_of=since)
+            old_rel = from_cat["tables"].get(table)
+            old_df = _read([old_rel]) if old_rel else None
             return new_df.exceptAll(old_df) if old_df is not None \
                 else new_df
         return None
@@ -281,7 +317,11 @@ class SnapshotStore:
         ]
         if not paths:
             return None
-        return (spark.read.option("recursiveFileLookup", "true")
+        r = spark.read
+        schema = self._table_schema(cat, table)
+        if schema is not None:
+            r = r.schema(schema)
+        return (r.option("recursiveFileLookup", "true")
                 .parquet(*paths))
 
     def read_status(
@@ -304,7 +344,11 @@ class SnapshotStore:
                 paths.append(leaf)
         if not paths:
             return None
-        return (spark.read.option("recursiveFileLookup", "true")
+        r = spark.read
+        schema = self._table_schema(cat, table)
+        if schema is not None:
+            r = r.schema(schema)
+        return (r.option("recursiveFileLookup", "true")
                 .parquet(*paths))
 
     def is_bucketed(self, table: str) -> bool:
@@ -363,6 +407,7 @@ class SnapshotStore:
         outside a migration."""
         cat = self.read_catalog()
         new_tables = dict(cat["tables"])
+        new_schemas = dict(cat.get("schemas", {}))
         new_appends = {k: list(v) for k, v in cat["appends"].items()}
         new_buckets = {
             t: {k: (dict(v) if isinstance(v, dict) else v)
@@ -413,6 +458,13 @@ class SnapshotStore:
             for job in jobs:
                 _write(job)
         for table, rel, df, kind in jobs:
+            # committed data schema (partition cols are dir-encoded):
+            # the catalog, not file sampling, is the schema authority —
+            # see _table_schema for the evolution rule
+            part = {"bucket", "_pstatus"} if kind == "bucket" else set()
+            new_schemas[table] = json.loads(
+                StructType([f for f in df.schema.fields
+                            if f.name not in part]).json())
             if kind == "rewrite":
                 new_tables[table] = rel
             elif kind == "append":
@@ -479,6 +531,7 @@ class SnapshotStore:
         new_cat = {
             "round": rnd,
             "tables": new_tables,
+            "schemas": new_schemas,
             "appends": new_appends,
             "buckets": new_buckets,
             "lineage": lineage[-LINEAGE_KEEP:],

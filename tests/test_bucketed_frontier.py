@@ -98,3 +98,39 @@ def test_gc_preserves_live_buckets(spark, corpus_dir, corpus, crawl_config,
     frontier_after = sorted(
         map(tuple, eng.frontier().toPandas().fillna(-1).values.tolist()))
     assert frontier_before == frontier_after
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    """Schema-on-catalog (Iceberg analog): a commit that adds a
+    nullable column rewrites ONLY its touched buckets; every read path
+    applies the committed schema, so untouched old-schema buckets
+    project with nulls instead of whatever name-based inference sampled.
+    as_of keeps each round's own schema; read_changes diffs across the
+    boundary under the to-side schema."""
+    store = SnapshotStore(str(tmp_path / "evo"))
+    df1 = spark.createDataFrame(
+        [(i, f"u{i}", i % 4) for i in range(16)],
+        "id long, url string, bucket int")
+    store.commit_round(1, {}, {}, bucket_updates={"t": (df1, 4)})
+    # evolution commit: adds `score`, touches only buckets 0 and 1
+    df2 = spark.createDataFrame(
+        [(i, f"u{i}", i % 4, float(i)) for i in range(16) if i % 4 < 2],
+        "id long, url string, bucket int, score double")
+    store.commit_round(2, {}, {}, bucket_updates={"t": (df2, 4)})
+
+    cur = store.read(spark, "t")
+    assert set(cur.columns) == {"id", "url", "score"}
+    got = {r["id"]: r["score"] for r in cur.collect()}
+    assert len(got) == 16
+    for i in range(16):
+        assert got[i] == (float(i) if i % 4 < 2 else None)
+
+    # time travel resolves the PRE-evolution schema
+    assert set(store.read(spark, "t", as_of=1).columns) == {"id", "url"}
+
+    # incremental scan across the boundary: old side projected into the
+    # new schema, so the delta is exactly the rewritten buckets' rows
+    delta = store.read_changes(spark, "t", since=1, as_of=2)
+    assert set(delta.columns) == {"id", "url", "score"}
+    assert sorted(r["id"] for r in delta.collect()) == \
+        [i for i in range(16) if i % 4 < 2]
