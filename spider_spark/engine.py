@@ -849,6 +849,16 @@ class CrawlEngine:
     def crawl_log(self) -> DataFrame | None:
         return self.store.read(self.spark, "crawl_log")
 
+    def rollback(self, to_round: int) -> None:
+        """Restore the crawl to a retained earlier round (poisoned-round
+        recovery; Iceberg rollback_to_snapshot analog).  Frontier,
+        postings, crawl log, and the seen-filter tables all live in the
+        one catalog, so they roll back together — the engine's
+        determinism then replays the abandoned rounds bit-identically
+        under an unchanged config/corpus, or diverges intentionally
+        under the fixed config that motivated the rollback."""
+        self.store.rollback(to_round)
+
     def postings_delta(self, since_round: int) -> DataFrame | None:
         """Postings accumulated after ``since_round`` — the reference's
         push loop (LibraryBuffer.java:160-188 sends only the buffer

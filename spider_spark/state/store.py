@@ -109,17 +109,23 @@ class SnapshotStore:
         with open(p) as f:
             return json.load(f)
 
-    def snapshots(self) -> list[int]:
-        """Rounds readable via ``as_of`` (archived + the live round)."""
+    def _archived_rounds(self) -> set[int]:
         d = os.path.join(self.root, CATALOG_DIR)
-        rounds = set()
-        if os.path.isdir(d):
-            for name in os.listdir(d):
-                if name.startswith("r") and name.endswith(".json"):
-                    rounds.add(int(name[1:-5]))
+        if not os.path.isdir(d):
+            return set()
+        return {int(n[1:-5]) for n in os.listdir(d)
+                if n.startswith("r") and n.endswith(".json")}
+
+    def snapshots(self) -> list[int]:
+        """Rounds readable via ``as_of`` (archived + the live round).
+        Archives BEYOND the live round are ignored — they can only be
+        residue of a crash inside :meth:`rollback` (an abandoned
+        timeline), never valid history."""
+        rounds = self._archived_rounds()
         p = self._catalog_path()
         if os.path.exists(p):
-            rounds.add(self.read_catalog()["round"])
+            live = self.read_catalog()["round"]
+            rounds = {r for r in rounds if r <= live} | {live}
         return sorted(rounds)
 
     def _table_schema(self, cat: dict[str, Any],
@@ -581,6 +587,41 @@ class SnapshotStore:
 
     # -- maintenance -------------------------------------------------------
 
+    def rollback(self, to_round: int) -> None:
+        """Restore the live catalog to a retained archived round
+        (Iceberg ``rollback_to_snapshot`` analog) — the recovery op for
+        a poisoned round, e.g. a spam flood admitted by a bad badlist
+        change: the crawl resumes from ``to_round`` exactly as if the
+        later rounds never committed, and because the engine is
+        deterministic the replayed rounds reproduce the timeline
+        bit-identically (under the same config/corpus).  Raises
+        ``KeyError`` if ``to_round`` is outside the retained window.
+
+        Crash-safe ordering: (1) swap the live catalog to the archive
+        copy — the commit point; (2) unlink the abandoned timeline's
+        archives (rounds > ``to_round``).  A crash between the two
+        leaves stale future archives that :meth:`snapshots` already
+        ignores and the next commits overwrite/prune.  An open
+        phase-1 marker belongs to the abandoned timeline and is
+        cleared; the abandoned rounds' snapshot dirs are overwritten
+        by the replayed rounds (same round-encoded names) and any
+        never-replayed residue past the torn-commit window is
+        collected by ``gc_orphans``."""
+        if to_round == self.read_catalog()["round"]:
+            return
+        cat = self.read_catalog(as_of=to_round)  # KeyError if pruned
+        self._swap_catalog(cat)
+        for rnd in self._archived_rounds():
+            if rnd > to_round:
+                try:
+                    os.unlink(self._archive_path(rnd))
+                except FileNotFoundError:
+                    pass
+        try:
+            os.unlink(os.path.join(self.root, PENDING))
+        except FileNotFoundError:
+            pass
+
     def compact_appends(
         self, spark: SparkSession, table: str, min_segments: int = 2,
         target_partitions: int | None = None,
@@ -662,7 +703,13 @@ class SnapshotStore:
                 rel = f"{table}/{snap}"
                 if rel in live or not os.path.isdir(os.path.join(tdir, snap)):
                     continue
-                if keep_recent and _dir_round(snap) > current - keep_recent:
+                # grace window: recent rounds for concurrent readers of
+                # the previous catalog, plus current+1 (an open torn-
+                # commit's outputs).  Dirs encoding rounds further in
+                # the future can only be an abandoned rollback timeline
+                # — no grace for those
+                if keep_recent and \
+                        current - keep_recent < _dir_round(snap) <= current + 1:
                     continue
                 snap_dir = os.path.join(tdir, snap)
                 live_leaves = {p for p in live if p.startswith(rel + "/")}
