@@ -849,6 +849,31 @@ class CrawlEngine:
     def crawl_log(self) -> DataFrame | None:
         return self.store.read(self.spark, "crawl_log")
 
+    def lookup_url(self, url: str) -> DataFrame | None:
+        """Point read of one frontier row (the reference's per-URI page
+        lookup: Perst unique-index get, web/MainPage.java /
+        db/PerstRoot.java:39-44) with bucket pruning: canonicalize,
+        recompute the JVM ``xxhash64`` driver-side via the faithful
+        XXH64 twin, and open ONLY the bucket dir
+        ``pmod(url_hash, nb)`` names — at any frontier size the scan
+        is one bucket (~1/nb of the table) with the URL equality
+        filter pushed to parquet row groups.  Returns None for a URL
+        that does not canonicalize or when the frontier is empty."""
+        from spider_spark.analytics.text import _xxh64
+        from spider_spark.functions.urlnorm import canonicalize
+        canon = canonicalize(url)
+        if canon is None:
+            return None
+        h = _xxh64(canon.encode("utf-8"), seed=42)
+        if h >= 1 << 63:
+            h -= 1 << 64  # Spark's xxhash64 is a signed long
+        nb = self.store.bucket_count("frontier")
+        df = (self.frontier() if nb is None else
+              self.store.read_buckets(self.spark, "frontier", [h % nb]))
+        if df is None:
+            return None
+        return df.filter(F.col("url") == canon)
+
     def rollback(self, to_round: int) -> None:
         """Restore the crawl to a retained earlier round (poisoned-round
         recovery; Iceberg rollback_to_snapshot analog).  Frontier,

@@ -134,3 +134,29 @@ def test_additive_schema_evolution(spark, tmp_path):
     assert set(delta.columns) == {"id", "url", "score"}
     assert sorted(r["id"] for r in delta.collect()) == \
         [i for i in range(16) if i % 4 < 2]
+
+
+def test_lookup_url_point_read(spark, corpus_dir, corpus, crawl_config,
+                               tmp_path):
+    """engine.lookup_url prunes to the ONE bucket dir the driver-side
+    hash twin names (Perst unique-index get analog): the row comes back
+    exactly, and every file the query opened lives under that bucket."""
+    eng = _mk_engine(spark, corpus_dir, crawl_config, str(tmp_path / "pt"))
+    eng.bootstrap(corpus["seeds"])
+    eng.run(2)
+    nb = crawl_config.frontier_buckets
+    rows = eng.frontier().select("url", "url_hash", "status").collect()
+    assert rows
+    for r in rows[:5]:
+        got = eng.lookup_url(r["url"])
+        hit = got.collect()
+        assert len(hit) == 1 and hit[0]["url"] == r["url"] \
+            and hit[0]["status"] == r["status"]
+        # the driver-side twin reproduced the JVM hash → right bucket
+        b = r["url_hash"] % nb
+        assert all(f"bucket={b}/" in f or f.endswith(f"bucket={b}")
+                   for f in got.inputFiles()), got.inputFiles()
+    # a URL that was never admitted: empty, still one-bucket scan
+    assert eng.lookup_url(rows[0]["url"] + "/nonexistent").count() == 0
+    # a URL that does not canonicalize
+    assert eng.lookup_url("not a url ::") is None
