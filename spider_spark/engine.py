@@ -871,7 +871,13 @@ class CrawlEngine:
         df = (self.frontier() if nb is None else
               self.store.read_buckets(self.spark, "frontier", [h % nb]))
         if df is None:
-            return None
+            # the URL's bucket holds no dir (sparse frontier): a miss,
+            # not an error — empty frame with the frontier's schema so
+            # callers can chain .count()/.collect() uniformly
+            full = self.frontier()
+            if full is None:
+                return None
+            return self.spark.createDataFrame([], full.schema)
         return df.filter(F.col("url") == canon)
 
     def rollback(self, to_round: int) -> None:

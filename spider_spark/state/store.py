@@ -93,13 +93,17 @@ class SnapshotStore:
         copy).  Raises ``KeyError`` for a round outside the retained
         window, listing what IS retained."""
         if as_of is not None:
-            p = self._archive_path(as_of)
-            if os.path.exists(p):
-                with open(p) as f:
-                    return json.load(f)
             live = self.read_catalog()
             if live["round"] == as_of:
                 return live
+            p = self._archive_path(as_of)
+            # the > live guard keeps an abandoned rollback timeline's
+            # leftover archives (crash between rollback's swap and its
+            # unlink loop) from resolving — snapshots() already
+            # excludes them, and their dirs carry no gc grace
+            if as_of < live["round"] and os.path.exists(p):
+                with open(p) as f:
+                    return json.load(f)
             raise KeyError(
                 f"round {as_of} not retained; snapshots: {self.snapshots()}")
         p = self._catalog_path()
@@ -145,6 +149,22 @@ class SnapshotStore:
         s = cat.get("schemas", {}).get(table)
         return StructType.fromJson(s) if s is not None else None
 
+    def _reader(self, spark: SparkSession, cat: dict[str, Any],
+                table: str, recursive: bool = False):
+        """DataFrameReader with the catalog's committed schema applied
+        (see :meth:`_table_schema`) — the ONE place the schema-or-
+        inference decision lives, shared by every read path.
+        ``recursive`` sets recursiveFileLookup for bucketed dirs whose
+        sub-partition (``_pstatus=``) leaves would otherwise trip
+        partition-column inference across many roots."""
+        r = spark.read
+        schema = self._table_schema(cat, table)
+        if schema is not None:
+            r = r.schema(schema)
+        if recursive:
+            r = r.option("recursiveFileLookup", "true")
+        return r
+
     def _swap_catalog(self, cat: dict[str, Any]) -> None:
         self._atomic_write_json(self._catalog_path(), cat, indent=1)
 
@@ -182,31 +202,22 @@ class SnapshotStore:
         time travel) — valid for any round in :meth:`snapshots`, whose
         files gc_orphans retains."""
         cat = self.read_catalog(as_of=as_of)
-        schema = self._table_schema(cat, table)
-
-        def _rd(recursive=False):
-            r = spark.read
-            if schema is not None:
-                r = r.schema(schema)
-            if recursive:
-                r = r.option("recursiveFileLookup", "true")
-            return r
-
         if table in cat["tables"]:
-            return _rd().parquet(os.path.join(self.root, cat["tables"][table]))
+            return self._reader(spark, cat, table).parquet(
+                os.path.join(self.root, cat["tables"][table]))
         bucketed = cat.get("buckets", {}).get(table)
         if bucketed is not None:
             paths = [os.path.join(self.root, p) for p in bucketed["dirs"].values()]
             if not paths:
                 return None
-            # recursiveFileLookup: bucket dirs may contain sub-partition
-            # (``_pstatus=...``) leaf dirs; partition-column inference
-            # over many partition-named roots conflicts, and we prune at
-            # the path level ourselves (status stays a data column)
-            return _rd(recursive=True).parquet(*paths)
+            # path-level pruning: we hand the reader the bucket dirs
+            # ourselves (status stays a data column)
+            return self._reader(spark, cat, table,
+                                recursive=True).parquet(*paths)
         segs = cat["appends"].get(table)
         if segs:
-            return _rd().parquet(*[os.path.join(self.root, s) for s in segs])
+            return self._reader(spark, cat, table).parquet(
+                *[os.path.join(self.root, s) for s in segs])
         return None
 
     def read_changes(
@@ -228,16 +239,19 @@ class SnapshotStore:
 
         Scale shape — no path reads the full table:
 
-        * append tables: pure segment pruning — the per-round archived
-          catalogs name which ``seg-`` dirs rounds (since, as_of]
-          added (compaction rollups never enter the delta; every
-          in-window segment is pinned by its round's retained archive,
-          so gc cannot have removed it);
+        * append tables: pure segment pruning — the union of the
+          retained window catalogs' segment lists names the in-window
+          ``seg-`` dirs (compaction rollups never enter the delta;
+          every in-window segment is pinned by a retained archive and
+          because segment lists accumulate until compaction, a single
+          archive lost to a crash between the swap and the archive
+          write is healed by its successor's list);
         * bucketed tables: only buckets whose dir pointer changed are
           read, on both sides, then multiset-subtracted
           (``exceptAll``) — cost is proportional to the window's write
-          volume, not table size (a rebucket migration in the window
-          degrades to all-buckets, which is honest: every row moved);
+          volume, not table size (a rebucket migration or a
+          rewrite→bucketed layout change in the window degrades to
+          all-buckets vs the full old version: every row moved);
         * rewrite tables: version-pointer compare, then subtract.
         """
         live = self.read_catalog()["round"]
@@ -254,44 +268,58 @@ class SnapshotStore:
         # delta across an additive-evolution boundary compares the old
         # version projected into the new schema (nulls for new cols)
         # instead of failing on a column-count mismatch in exceptAll
-        schema = self._table_schema(to_cat, table)
-
         def _read(paths, recursive=False):
             if not paths:
                 return None
-            r = spark.read
-            if schema is not None:
-                r = r.schema(schema)
-            if recursive:
-                r = r.option("recursiveFileLookup", "true")
-            return r.parquet(*[os.path.join(self.root, p) for p in paths])
+            # both sides of the diff read under the TO-side schema, so
+            # a delta across an additive-evolution boundary compares
+            # the old version projected into the new schema (nulls for
+            # new cols) instead of failing on a column-count mismatch
+            return self._reader(spark, to_cat, table, recursive).parquet(
+                *[os.path.join(self.root, p) for p in paths])
 
-        # append table: the delta is exactly the in-window segments
+        # append table: the delta is exactly the in-window segments.
+        # Collect them from the UNION of the window's retained segment
+        # lists (not one archive per round): lists accumulate until
+        # compaction, so seg-R also appears in round R+1's archive and
+        # the live catalog — a single archive lost to a crash between
+        # the catalog swap and the archive write cannot silently drop
+        # round R's segment from the delta
         if table in to_cat["appends"] or table in from_cat.get(
                 "appends", {}):
-            segs = []
+            listed = set(to_cat["appends"].get(table, []))
             for r in self.snapshots():
-                if since < r <= as_of:
-                    rel = f"{table}/seg-{r:06d}"
-                    if rel in self.read_catalog(as_of=r)["appends"].get(
-                            table, []):
-                        segs.append(rel)
+                if since <= r <= as_of:
+                    listed.update(self.read_catalog(as_of=r)["appends"]
+                                  .get(table, []))
+            segs = []
+            for rel in sorted(listed):
+                name = rel.rsplit("/", 1)[-1]
+                if name.startswith("seg-") and name[4:].isdigit() \
+                        and since < int(name[4:]) <= as_of:
+                    segs.append(rel)
             return _read(segs)
 
         tb = to_cat.get("buckets", {}).get(table)
         fb = from_cat.get("buckets", {}).get(table)
         if tb is not None:
             if fb is None or fb["n"] != tb["n"]:
-                changed = set(tb["dirs"])  # migration/new: all buckets
+                # migration/new: every row moved — diff ALL new buckets
+                # against the ENTIRE old version (its buckets under the
+                # old modulus, or the legacy rewrite dir a bucketing
+                # layout change superseded)
+                changed = set(tb["dirs"])
+                old_paths = (list(fb["dirs"].values()) if fb
+                             else [from_cat["tables"][table]]
+                             if table in from_cat.get("tables", {}) else [])
             else:
                 changed = {b for b, rel in tb["dirs"].items()
                            if fb["dirs"].get(b) != rel}
+                old_paths = [fb["dirs"][b] for b in sorted(changed)
+                             if b in fb["dirs"]]
             new_df = _read([tb["dirs"][b] for b in sorted(changed)],
                            recursive=True)
-            old_df = _read(
-                [fb["dirs"][b] for b in sorted(changed)
-                 if fb and b in fb["dirs"]] if fb else [],
-                recursive=True)
+            old_df = _read(old_paths, recursive=True)
             if new_df is None:
                 return None
             return new_df.exceptAll(old_df) if old_df is not None \
@@ -323,12 +351,8 @@ class SnapshotStore:
         ]
         if not paths:
             return None
-        r = spark.read
-        schema = self._table_schema(cat, table)
-        if schema is not None:
-            r = r.schema(schema)
-        return (r.option("recursiveFileLookup", "true")
-                .parquet(*paths))
+        return self._reader(spark, cat, table,
+                            recursive=True).parquet(*paths)
 
     def read_status(
         self, spark: SparkSession, table: str, value: str
@@ -350,12 +374,8 @@ class SnapshotStore:
                 paths.append(leaf)
         if not paths:
             return None
-        r = spark.read
-        schema = self._table_schema(cat, table)
-        if schema is not None:
-            r = r.schema(schema)
-        return (r.option("recursiveFileLookup", "true")
-                .parquet(*paths))
+        return self._reader(spark, cat, table,
+                            recursive=True).parquet(*paths)
 
     def is_bucketed(self, table: str) -> bool:
         return table in self.read_catalog().get("buckets", {})
@@ -468,9 +488,18 @@ class SnapshotStore:
             # the catalog, not file sampling, is the schema authority —
             # see _table_schema for the evolution rule
             part = {"bucket", "_pstatus"} if kind == "bucket" else set()
-            new_schemas[table] = json.loads(
-                StructType([f for f in df.schema.fields
-                            if f.name not in part]).json())
+            fields = [f for f in df.schema.fields if f.name not in part]
+            if kind == "append" and table in new_schemas:
+                # append segments are immutable history: a narrower
+                # append must not hide (and, via compaction, then
+                # destroy) columns earlier segments carry — union with
+                # the prior committed schema, new definition winning
+                # on a name collision (explicit type evolution)
+                names = {f.name for f in fields}
+                fields += [f for f in
+                           StructType.fromJson(new_schemas[table]).fields
+                           if f.name not in names]
+            new_schemas[table] = json.loads(StructType(fields).json())
             if kind == "rewrite":
                 new_tables[table] = rel
             elif kind == "append":
@@ -637,7 +666,12 @@ class SnapshotStore:
         segs = cat["appends"].get(table, [])
         if len(segs) < min_segments:
             return False
-        df = spark.read.parquet(*[os.path.join(self.root, s) for s in segs])
+        # the committed schema MUST drive the rollup read: inference
+        # samples one file, and if that file predates an additive
+        # evolution the rollup would be written without the new column
+        # — silent, permanent loss once gc prunes the originals
+        df = self._reader(spark, cat, table).parquet(
+            *[os.path.join(self.root, s) for s in segs])
         if target_partitions:
             df = df.coalesce(target_partitions)
         rel = f"{table}/rollup-{cat['round']:06d}-{len(segs)}"
