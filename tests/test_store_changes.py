@@ -172,3 +172,41 @@ def test_read_changes_matches_brute_oracle_over_random_history(spark,
                 want = sorted(tuple(r[c] for c in cols)
                               for r in oracle.collect())
                 assert got == want, (tbl, a, b)
+
+
+def test_concurrent_reader_survives_commits_and_gc(spark, corpus_dir,
+                                                   corpus, crawl_config,
+                                                   tmp_path):
+    """The gc grace window's actual contract: a reader that planned its
+    scan against an OLDER catalog (lazy DataFrame, files not yet read)
+    still materializes correctly after later rounds commit, compact,
+    and gc — within gc_retain_rounds, its files are never deleted out
+    from under it."""
+    import dataclasses
+    from spider_spark.engine import CrawlEngine
+    from spider_spark.state.store import SnapshotStore
+
+    cfg = dataclasses.replace(crawl_config, gc_retain_rounds=3,
+                              max_append_segments=2)
+    eng = CrawlEngine(
+        spark, SnapshotStore(str(tmp_path / "cr")),
+        corpus_dir + "/documents.parquet", cfg,
+        robots=spark.read.parquet(corpus_dir + "/robots.parquet"),
+        hosts=spark.read.parquet(corpus_dir + "/hosts.parquet"))
+    eng.bootstrap(corpus["seeds"])
+    eng.run(2)
+
+    # plan now, materialize later: these frames reference round-2 dirs
+    old_frontier = eng.frontier()
+    old_postings = eng.postings()
+    want_f, want_p = old_frontier.count(), old_postings.count()
+
+    # two more rounds: commits, filter updates, compaction + gc fire
+    eng.run(2)
+    assert eng.store.current_round == 4
+
+    # the old plans still resolve — same rows as when they were planned
+    assert old_frontier.count() == want_f
+    assert old_postings.count() == want_p
+    # and the old frontier is genuinely stale vs the live one
+    assert eng.frontier().count() >= want_f
