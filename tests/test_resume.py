@@ -271,3 +271,42 @@ def test_rollback_and_replay_bit_identical(spark, corpus_dir, corpus,
         raise AssertionError("unretained rollback target must raise")
     except KeyError:
         pass
+
+
+def test_rollback_crash_resume_composition(spark, corpus_dir, corpus,
+                                           crawl_config, tmp_path):
+    """The recovery ops compose: rollback, then a torn commit (crash
+    between phase-1 writes and the catalog swap), then resume on a
+    fresh engine — the final state still matches an uninterrupted run
+    bit-for-bit (rollback's replay determinism + the NOT_PUSHED→QUEUED
+    replay rule are the same one mechanism: an uncommitted round
+    simply runs again)."""
+    import dataclasses
+    cfg = dataclasses.replace(crawl_config, gc_retain_rounds=4)
+
+    ref = _mk_engine(spark, corpus_dir, cfg, str(tmp_path / "ref"))
+    ref.bootstrap(corpus["seeds"])
+    ref.run(4)
+
+    eng = _mk_engine(spark, corpus_dir, cfg, str(tmp_path / "mix"))
+    eng.bootstrap(corpus["seeds"])
+    eng.run(3)
+    eng.rollback(1)            # drop rounds 2-3
+    eng.run_round()            # replay round 2
+
+    # torn round 3: phase-1 dirs + marker land, swap "crashes"
+    boom = RuntimeError("crash before catalog swap")
+    orig = eng.store._swap_catalog
+    eng.store._swap_catalog = lambda cat: (_ for _ in ()).throw(boom)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        eng.run_round()
+    eng.store._swap_catalog = orig
+
+    # fresh engine over the same store: replays round 3, runs round 4
+    eng2 = _mk_engine(spark, corpus_dir, cfg, str(tmp_path / "mix"))
+    eng2.bootstrap(corpus["seeds"])  # no-op on resume
+    eng2.run(2)
+    assert eng2.store.current_round == 4
+
+    assert _state_signature(ref) == _state_signature(eng2)
