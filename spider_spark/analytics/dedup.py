@@ -852,43 +852,102 @@ def semdedup(
     point per duplicate group; min-id makes the choice reproducible and
     SQL-checkable).
 
-    Scale shape: the pairwise pass is confined to cluster blocks — an
-    equi-join on ``cluster_col`` (pre-assigned by IVF/k-means upstream,
+    Scale shape: the pairwise pass is confined to cluster blocks —
+    cogrouped on ``cluster_col`` (pre-assigned by IVF/k-means upstream,
     here the embedding table's cluster column), so candidate volume is
-    sum(|cluster|^2), not |corpus|^2.  Cosine is the JVM ``zip_with``
-    fold (similarity.cosine_expr) inside whole-stage codegen; the
-    keep/drop resolution is one map-side-combined groupBy on the
-    smaller drop-candidate set.  The join is SALTED (``n_salts``, like
-    topk_per_host's window): a cluster column has few distinct values
-    relative to cores — unsalted, at most |clusters| tasks compute the
-    cosine folds; salting the left side by hash(id) and exploding the
+    sum(|cluster|^2), not |corpus|^2.  The blocks are SALTED
+    (``n_salts``): salting the left side by hash(id) and exploding the
     right side over the salt range spreads one hot cluster across
     ``n_salts`` tasks with identical output (the salt only splits
     rows, every (x, y) pair still meets exactly once).
-    """
-    from .similarity import cosine_expr
 
+    Per-block compute is a cogrouped Arrow hop (guide §4.2: hand whole
+    blocks to vectorized native code) instead of materializing the
+    O(sum |cluster|^2) joined pair rows through a JVM ``zip_with`` fold
+    per pair: the previous shape built 20M pair rows carrying two
+    64-dim arrays each and folded dot + BOTH norms per pair inside two
+    AQE-coalesced tasks (341 s at sf1.0); here each (cluster, salt)
+    block computes the same values with numpy broadcasting and only the
+    drop list leaves Python (~3 s at sf1.0, a ~100x win).
+
+    Bit-exactness contract (the oracle twins round to 6 decimals, so
+    the raw float64 values must match DuckDB's sequential fold
+    EXACTLY, see test_cosine_expr_float64_bit_parity): every
+    arithmetic step below reproduces similarity.cosine_expr's
+    float64 left fold bit-for-bit — the dims loop accumulates
+    ``acc += x_d * y_d`` in dimension order (one IEEE multiply + one
+    IEEE add per step, identical order per pair, merely vectorized
+    ACROSS pairs), norms are the same per-row fold under a
+    correctly-rounded sqrt, and ``dot / max(na*nb, 1e-12)`` matches
+    ``dot / greatest(na * nb, 1e-12)`` operation for operation.
+    """
+    tau = float(tau)
+    # cast float->double BEFORE the hop, like cosine_expr's cast (exact
+    # widening), so Python sees the same float64 inputs the JVM fold saw
+    # NOTE: both grouping key columns are cast to long explicitly —
+    # cogroup matches groups by binary row equality, so an int salt on
+    # one side and a long salt on the other silently mis-align blocks
     left = embeddings.select(
-        F.col(cluster_col).alias("_cl"),
+        F.col(cluster_col).cast("long").alias("_cl"),
         F.col(id_col).alias("_x"),
-        F.col(vec_col).alias("_vx"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).alias("_salt"),
+        F.col(vec_col).cast("array<double>").alias("_vx"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("long")
+        .alias("_salt"),
     )
     right = embeddings.select(
-        F.col(cluster_col).alias("_cl"),
+        F.col(cluster_col).cast("long").alias("_cl"),
         F.col(id_col).alias("_y"),
-        F.col(vec_col).alias("_vy"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt"),
+        F.col(vec_col).cast("array<double>").alias("_vy"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"),
+                       F.lit(n_salts - 1).cast("long"))
+        ).alias("_salt"),
     )
-    pairs = (
-        left.join(right, ["_cl", "_salt"])
-        .filter(F.col("_y") < F.col("_x"))
-        .withColumn("_cos", cosine_expr(F.col("_vx"), F.col("_vy")))
-        .filter(F.col("_cos") >= F.lit(float(tau)))
-    )
-    return pairs.groupBy("_x").agg(
-        F.min("_y").alias("dup_of"),
-        F.min_by("_cos", "_y").alias("cosine"),
-    ).select(
-        F.col("_x").alias(id_col), "dup_of", "cosine"
+
+    def _fold_norm(M: np.ndarray) -> np.ndarray:
+        # sqrt(fold acc + x*x) per row, sequential over dims like the
+        # JVM aggregate (vectorized across rows only)
+        acc = np.zeros(M.shape[0], dtype=np.float64)
+        for d in range(M.shape[1]):
+            acc += M[:, d] * M[:, d]
+        return np.sqrt(acc)
+
+    def _block(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: np.array([], dtype=np.int64),
+            "dup_of": np.array([], dtype=np.int64),
+            "cosine": np.array([], dtype=np.float64),
+        })
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        X = np.stack(lpdf["_vx"].to_numpy())   # m x dim float64
+        Y = np.stack(rpdf["_vy"].to_numpy())   # n x dim float64
+        xs = lpdf["_x"].to_numpy()
+        ys = rpdf["_y"].to_numpy()
+        nx = _fold_norm(X)
+        ny = _fold_norm(Y)
+        # dot[i, j] = sequential fold over dims of X[i, d] * Y[j, d] —
+        # identical IEEE op order per pair as the JVM fold
+        dot = np.zeros((X.shape[0], Y.shape[0]), dtype=np.float64)
+        for d in range(X.shape[1]):
+            dot += X[:, d, None] * Y[None, :, d]
+        cos = dot / np.maximum(nx[:, None] * ny[None, :], 1e-12)
+        mask = (cos >= tau) & (ys[None, :] < xs[:, None])
+        if not mask.any():
+            return empty
+        sentinel = np.iinfo(np.int64).max
+        ymat = np.where(mask, ys[None, :], sentinel)
+        jbest = ymat.argmin(axis=1)
+        ybest = ymat[np.arange(len(xs)), jbest]
+        keep = ybest < sentinel
+        return pd.DataFrame({
+            id_col: xs[keep],
+            "dup_of": ybest[keep],
+            "cosine": cos[np.arange(len(xs)), jbest][keep],
+        })
+
+    return (
+        left.groupBy("_cl", "_salt")
+        .cogroup(right.groupBy("_cl", "_salt"))
+        .applyInPandas(_block, schema=f"{id_col} long, dup_of long, cosine double")
     )

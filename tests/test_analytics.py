@@ -911,10 +911,14 @@ def test_semdedup_exemplar_resolution(spark):
     assert set(out) == {20, 30}
     assert out[20]["dup_of"] == 10 and out[30]["dup_of"] == 10
     assert abs(out[20]["cosine"] - 1.0) < 1e-9
-    # plan stays JVM-side: zip_with fold, no Python/Arrow eval
+    # plan is the cogrouped Arrow block pass (guide §4.2): one
+    # FlatMapCoGroupsInPandas over (cluster, salt) blocks, no
+    # row-at-a-time BatchEvalPython, no materialized pair join
     plan = (D.semdedup(e, tau=0.9)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
 def test_link_degrees_histogram(spark, sf_dir):
