@@ -42,6 +42,70 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_SCAN_PARALLELISM_CACHE: dict[str, int] = {}
+
+
+def _scan_parallelism(path: str) -> int:
+    """Upper bound on row-producing scan tasks for a parquet input.
+
+    Parquet row groups cannot be split, so a single-row-group file is a
+    one-task scan no matter how `spark.sql.files.maxPartitionBytes` is
+    set — the guide §2.5 "one huge unsplittable file" input-skew case.
+    Footer metadata only (no data read); the directory walk stops as
+    soon as the input is provably parallel enough.  Cached per path —
+    this is input-layout metadata, not query results."""
+    cached = _SCAN_PARALLELISM_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import os
+
+    import pyarrow.parquet as _pq
+
+    cap = 4096
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for i, f in enumerate(sorted(os.listdir(path))):
+                if f.endswith(".parquet"):
+                    total += _pq.ParquetFile(
+                        os.path.join(path, f)).metadata.num_row_groups
+                if total >= 64 or i >= 64:
+                    break
+            n = max(total, 1)
+        else:
+            n = max(_pq.ParquetFile(path).metadata.num_row_groups, 1)
+    except Exception:
+        n = cap  # unknown layout: assume parallel, never force a shuffle
+    _SCAN_PARALLELISM_CACHE[path] = n
+    return n
+
+
+def _spread(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Load a table and, when its scan cannot parallelize (few row
+    groups vs cores), hash-repartition it by a real key so CPU-heavy
+    per-row work downstream uses every core (guide §2.5: repartition
+    immediately after the read; deterministic key, not rand()).  At
+    production scale inputs carry >= cores row groups and this is a
+    no-op — no shuffle is added."""
+    df = _load(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if _scan_parallelism(f"{sf_dir}/{name}.parquet") >= min(target, 16):
+        return df
+    return df.repartition(target, F.col(key))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with scan-parallelism guard — use for queries whose
+    scan stage does heavy per-document work (tokenize/hash/regex)."""
+    return _spread(spark, sf_dir, "documents", "doc_id")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with scan-parallelism guard (cosine folds are
+    CPU-heavy per row)."""
+    return _spread(spark, sf_dir, "embeddings", "vec_id")
+
+
 def _frontier_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic frontier derived from documents (see module doc)."""
     d = _load(spark, sf_dir, "documents")
@@ -165,7 +229,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     every host disallows /d/1; hosts with names longer than 4 chars
     also disallow /d/2.  Returns the admissible URLs."""
     from .operators.admission import filter_and_canonicalize
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     cand = d.select(
         F.concat(F.lit("http://"), F.col("source"), F.lit(".example/d/"),
                  F.col("doc_id")).alias("raw_url"))
@@ -359,7 +423,7 @@ def _tokens_of(d: DataFrame) -> DataFrame:
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _tokens_of(_load(spark, sf_dir, "documents"))
+    return _tokens_of(_docs(spark, sf_dir))
 
 
 _TOKENS_SQL = f"""
@@ -539,7 +603,7 @@ def q_varint_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over doc_id (shuffle 2, on the already doc-collapsed frame
     ≤ df rows/term) → per-term agg → 1-row totals broadcast → global
     top-30 via TakeOrderedAndProject.  No Python anywhere."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     stream = d.select(
         "doc_id",
         F.posexplode(
@@ -780,7 +844,7 @@ def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase is n-1 chained equi-joins, each input already reduced to
     one term's postings — the same access pattern a posting-list
     intersection does on the reference's per-term pages."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id",
         F.posexplode(
@@ -843,7 +907,7 @@ def q_search_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM array ops (slice/array_join) — no Python, no extra shuffle
     beyond the one broadcast join."""
     hits = q_search_phrase(spark, sf_dir).select("doc_id", "first_pos")
-    d = _load(spark, sf_dir, "documents").select(
+    d = _docs(spark, sf_dir).select(
         "doc_id",
         F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_PATTERN), 0)
         .alias("arr"),
@@ -973,7 +1037,7 @@ def q_tokenizer_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4: the exact SearchTokenizer automaton over the documents table
     (Arrow UDF).  Not ANSI-SQL-expressible (CJK automaton) → rows-only
     driver check; automaton parity is pinned by golden tests."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id", F.posexplode(tokenize_udf(F.col("text"))).alias("pos", "term")
     )
@@ -991,7 +1055,7 @@ def q_tokenizer_ascii_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Restricted to ASCII documents on BOTH sides (the expression's
     validity domain; the driver's sf0.01 corpus is 100% ASCII so
     nothing is excluded there)."""
-    d = _load(spark, sf_dir, "documents").filter(
+    d = _docs(spark, sf_dir).filter(
         F.col("text").rlike(_ASCII_ONLY_RE))
     toks = d.select(
         "doc_id",
@@ -1041,7 +1105,7 @@ SQL_TOKENIZER_ASCII_JVM = r"""
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by normalized-text hash."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dedup.exact_duplicates(d).select(
         "content_hash", "dup_count", F.to_json("doc_ids").alias("doc_ids_json")
     )
@@ -1067,7 +1131,7 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a collect_list on the hot key would be an unbounded single-task
     array at scale — agg state here is constant-size per key and fully
     map-side combinable."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dedup.exact_duplicates(d, prefix_chars=120, with_ids=False)
 
 
@@ -1087,7 +1151,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark).  n=4 here — the synthetic corpus's ~40-word vocabulary
     makes real-pipeline n (8-13) vacuously collision-free at test SFs;
     the operator takes n as a parameter."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dedup.ngram_contamination(
         d.filter(F.col("doc_id") % 97 != 0),
         d.filter(F.col("doc_id") % 97 == 0),
@@ -1119,7 +1183,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~50-token windows; the synthetic corpus's tiny vocabulary makes
     long verbatim runs vacuously absent at test SFs); bucket_cap is
     sized so the cap provably never binds at oracle scale."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dedup.substring_duplicate_pairs(d, n=4, bucket_cap=100_000)
 
 
@@ -1153,7 +1217,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     common, which is exactly the boilerplate regime the operator
     targets.  The pattern sticks to Java-regex ∩ RE2-identical syntax
     so Spark and the DuckDB oracle segment identically."""
-    d = _load(spark, sf_dir, "documents").withColumn(
+    d = _docs(spark, sf_dir).withColumn(
         "text", F.regexp_replace("text", r"(\S+ \S+ \S+) ", "$1\n"))
     return dedup.line_dedup(d)
 
@@ -1187,7 +1251,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (rows-only: k-permutation signatures
     are not ANSI-SQL; exactness is covered by test_analytics golden
     cases + the SQL-checked n-gram Jaccard verifier below)."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dedup.minhash_near_duplicates(
         d, jaccard_threshold=0.5, num_hashes=64, bands=16
     ).withColumn("est_jaccard", F.round("est_jaccard", 6))
@@ -1199,7 +1263,7 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket self-join, signature-agreement estimate — sits under the
     DuckDB oracle gate bit-for-bit (the speed path ``dedup_minhash``
     stays rows-only because crc32/xxhash64 have no SQL twin)."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dedup.minhash_portable_pairs(d)
 
 
@@ -1258,7 +1322,7 @@ SQL_MINHASH_PORTABLE = _minhash_portable_sql()
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only; banding covered by tests)."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dedup.simhash_near_duplicates(d, max_hamming=8)
 
 
@@ -1331,7 +1395,7 @@ SQL_SIMHASH_PORTABLE = r"""
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard on consecutive-id candidate pairs."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     pairs = (
         d.select("doc_id")
         .withColumn("doc_id2", F.col("doc_id") + 1)
@@ -1365,7 +1429,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id.  This is the keep-one-per-cluster step a training pipeline
     runs after pair generation; the oracle reproduces it with a
     recursive transitive closure."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     ids = d.select("doc_id")
     cand = None
     for off in (1, 2):
@@ -1415,7 +1479,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     document, catches boilerplate-prefixed copies) — and the prefix key
     is non-vacuous at the test SFs, where whole-text exact duplicates
     don't occur."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dedup.incremental_duplicates(
         d.filter(F.col("doc_id") % 2 == 1),
         d.filter(F.col("doc_id") % 2 == 0),
@@ -1528,7 +1592,7 @@ SQL_DOC_TFIDF = f"""
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id < 10."""
-    e = _load(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     out = similarity.brute_force_topk(e, e.filter("vec_id < 10"), k=5)
     return out.withColumn("cosine", F.round("cosine", 6))
 
@@ -1553,7 +1617,7 @@ SQL_ANN_BRUTEFORCE = """
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN (rows-only: approximate by design; recall vs
     the brute-force baseline is asserted in tests)."""
-    e = _load(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     dim = len(e.select("embedding").first()[0])
     out = similarity.lsh_topk(e, e.filter("vec_id < 10"), dim=dim, k=5, n_bits=10)
     return out.withColumn("cosine", F.round("cosine", 6))
@@ -1564,7 +1628,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic seeded k-means centroids, n_probe nearest cells per
     query, exact cosine within probed cells; recall and golden cases
     are pinned in tests/test_analytics.py::test_ivf_topk)."""
-    e = _load(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     dim = len(e.select("embedding").first()[0])
     cent = similarity.ivf_build(e, dim=dim, n_cells=16)
     out = similarity.ivf_topk(e, e.filter("vec_id < 10"), cent, k=5)
@@ -1573,7 +1637,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, blocked by label (exact within block)."""
-    e = _load(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     l = e.select("label", F.col("vec_id").alias("doc_id"), F.col("embedding").alias("v1"))
     r = e.select("label", F.col("vec_id").alias("doc_id2"), F.col("embedding").alias("v2"))
     cand = l.join(r, "label").filter(F.col("doc_id") < F.col("doc_id2"))
@@ -1628,7 +1692,7 @@ def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin unrolls both iterations as CTEs over (vec_id, dim,
     value) triples, so the iterative loop is value-checked end-to-end
     like pagerank's."""
-    e = _load(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return similarity.kmeans_lloyd(e, k=8, iters=2).orderBy("vec_id")
 
 
@@ -2414,7 +2478,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     different orders (same headroom argument as unigram_xent); the
     per-doc sum Σ cnt·lw is term-for-term equal to the per-token sum
     because every token in a bucket contributes the identical lw."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     bucket = (
         F.conv(F.substring(F.md5(F.col("term")), 1, 6), 16, 10)
         .cast("long") % _DSIR_BUCKETS
@@ -2700,7 +2764,7 @@ def q_fasttext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature array), one row out per doc.  At 100 TB this is a pure
     map stage; fastText inference genuinely is embarrassingly
     parallel and this plan says so."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     arr = "regexp_extract_all(lower(text), '[a-z0-9'']+', 0)"
     feats = (
         f"concat({arr}, "
@@ -2860,7 +2924,7 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode, one pair groupBy — i.e. tokenizer training's hot
     first stage expressed as two shuffles over the DISTINCT-word
     table, not the corpus."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     wc = text.bpe_word_counts(d)
     return (
         text.bpe_pair_counts(wc)
@@ -2896,7 +2960,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference implementation in tests/test_analytics.py, and the
     iteration-0 pair counts it starts from are the oracle-checked
     bpe_pairs query."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return text.bpe_learn(d, n_merges=8)
 
 
@@ -2907,7 +2971,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT word, documents re-join their counts (see
     text.bpe_encode).  Pinned against a pure-Python learn+encode
     reference in tests/test_analytics.py."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     merges = [(r["lhs"], r["rhs"])
               for r in text.bpe_learn(d, n_merges=6).collect()]
     return text.bpe_encode(d, merges).orderBy("doc_id")
@@ -2920,7 +2984,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     same top-k.  No broadcast hint on the unigram join — web-scale
     vocab would OOM a forced broadcast; only the corpus-total scalar
     broadcasts."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return text.collocations(d, min_count=5, topk=100)
 
 
@@ -2955,7 +3019,7 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one (doc, bigram) hash-agg then a per-doc max/sum).  Ratios are
     single divisions of exact integer counts — bit-identical to the
     DuckDB oracle."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return text.repetition_features(d).select(
         "doc_id", "n_words",
         F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
@@ -3010,7 +3074,7 @@ def q_filter_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     length/stopword/punct features are zero-shuffle per-row
     expressions; repetition adds the one (doc, bigram) hash-agg
     repetition_scores already pays; one doc_id join fuses them."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     q = text.quality_score(d).select(
         "doc_id", "n_words", "punct_ratio", "stopword_ratio")
     r = text.repetition_features(d).select(
@@ -3115,7 +3179,7 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     fd = q_filter_decisions(spark, sf_dir).select("doc_id", "reasons")
     ft = q_fasttext_quality(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("_ft"))
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     key = F.md5(F.substring(
         F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 120))
     canon = (
@@ -3339,7 +3403,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints (rows-only): 63-bit xxhash64 over the
     whitespace-normalized text — one JVM expression, whole-stage
     codegen, no Python (VERDICT r2 item 5)."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id", text.fingerprint_col(F.col("text")).alias("fingerprint"))
 
@@ -3351,7 +3415,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 has no SQL twin; here the hash is the portable
     md5-prefix).  Zero-shuffle narrow map; see
     text.winnow_fingerprints for the 100-TB analysis."""
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return text.winnow_fingerprints(d, k=4, w=5)
 
 
@@ -3459,7 +3523,7 @@ def _media_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     interleaved span shape changes).  The span text column is pruned
     from the scan before the explode."""
     from . import flagship
-    d = _load(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     spans = flagship.interleaved_view(d).select(
         "doc_id", F.explode("spans").alias("s"))
     return spans.filter(F.col("s.kind") == "media").select(
