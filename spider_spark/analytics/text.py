@@ -542,20 +542,65 @@ def bpe_learn(
     Greedy-replace semantics match Sennrich's reference: counting
     sees every adjacent occurrence; merging replaces non-overlapping
     occurrences left-to-right ("aaa" counts (a,a) twice, merges once).
-    """
-    from pyspark.sql.types import ArrayType, StringType
 
+    Per-iteration cost (guide §1.2/§4): the merge pass is a JVM
+    ``aggregate`` fold (state = built array + one-symbol carry —
+    exactly the greedy non-overlapping left-to-right scan), stacked as
+    a nested expression over the ONE persisted base vocabulary, so an
+    iteration is a single TakeOrdered job — no Python hop, no per-
+    iteration persist/count materialization (the previous Arrow-UDF
+    loop paid 2 jobs + a cache round-trip per merge).  Re-applying k-1
+    folds at iteration k is O(n_merges^2) symbol scans per word —
+    trivial next to one materialization of the vocab per iteration.
+    """
     spark = docs.sparkSession
     wc = bpe_word_counts(docs, text_col)
-    seqs = wc.select(
+    seqs0 = wc.select(
         "cnt",
         F.concat(F.split("word", ""), F.array(F.lit("</w>"))).alias("seq"),
     ).persist()
+
+    def _merge_fold(col, la: str, lb: str):
+        # greedy left-to-right non-overlapping replace of (la, lb):
+        # fold state carries the last unmerged symbol; null carry after
+        # a merge so "aaa" merges once
+        merged = F.lit(la + lb)
+        nul = F.lit(None).cast("string")
+        init = F.struct(
+            F.array().cast("array<string>").alias("out"),
+            nul.alias("carry"),
+        )
+        return F.aggregate(
+            col,
+            init,
+            lambda acc, x: F.when(
+                (acc["carry"] == F.lit(la)) & (x == F.lit(lb)),
+                F.struct(
+                    F.concat(acc["out"], F.array(merged)).alias("out"),
+                    nul.alias("carry"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.when(
+                        acc["carry"].isNotNull(),
+                        F.concat(acc["out"], F.array(acc["carry"])),
+                    ).otherwise(acc["out"]).alias("out"),
+                    x.alias("carry"),
+                )
+            ),
+            lambda acc: F.when(
+                acc["carry"].isNotNull(),
+                F.concat(acc["out"], F.array(acc["carry"])),
+            ).otherwise(acc["out"]),
+        )
+
     try:
         merges = []
+        seq_expr = F.col("seq")
         for rank in range(1, n_merges + 1):
+            cur = seqs0.select("cnt", seq_expr.alias("seq"))
             pairs = (
-                seqs.select(
+                cur.select(
                     "cnt",
                     F.posexplode("seq").alias("i", "lhs"),
                     F.try_element_at("seq", F.col("i") + 2).alias("rhs"),
@@ -570,37 +615,12 @@ def bpe_learn(
                 break
             b = best[0]
             merges.append((rank, b["lhs"], b["rhs"], int(b["pair_count"])))
-            la, lb = b["lhs"], b["rhs"]
-
-            # no hints (stringized annotations break pandas_udf
-            # inference under `from __future__ import annotations`);
-            # la/lb bound as defaults so a lineage recompute after the
-            # loop rebinds them still merges THIS iteration's pair
-            def _merge(col, la=la, lb=lb):
-
-                out = []
-                for seq in col:
-                    res, i, n = [], 0, len(seq)
-                    while i < n:
-                        if i + 1 < n and seq[i] == la and seq[i + 1] == lb:
-                            res.append(la + lb)
-                            i += 2
-                        else:
-                            res.append(seq[i])
-                            i += 1
-                    out.append(res)
-                return pd.Series(out)
-
-            merge_udf = pandas_udf(_merge, ArrayType(StringType()))
-            new_seqs = seqs.select("cnt", merge_udf("seq").alias("seq")).persist()
-            new_seqs.count()  # materialize before dropping the parent
-            seqs.unpersist()
-            seqs = new_seqs
+            seq_expr = _merge_fold(seq_expr, b["lhs"], b["rhs"])
         return spark.createDataFrame(
             merges, "rank int, lhs string, rhs string, pair_count bigint"
         )
     finally:
-        seqs.unpersist()
+        seqs0.unpersist()
 
 
 def bpe_encode(
