@@ -3520,14 +3520,34 @@ def _media_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link graph of the interleaved corpus: (src, dst) per media span
     — the single derivation behind media_ref_dedup, pagerank,
     crawl_depth, and link_degrees (one site to update if the
-    interleaved span shape changes).  The span text column is pruned
-    from the scan before the explode."""
+    interleaved span shape changes).
+
+    Derivation detail: the media spans of flagship.interleaved_view
+    are exactly the +1/+3/+9 same-host lead urls, so the edges come
+    straight from those window expressions — building the full span
+    array (whose text span carries the whole document body) and
+    exploding it defeated nested-column pruning and shipped every
+    document's text through the explode just to drop it (guide §2.3:
+    project before the exchange).  Here the scan reads only
+    (doc_id, source); rows are identical (same spans, order-free)."""
     from . import flagship
-    d = _docs(spark, sf_dir)
-    spans = flagship.interleaved_view(d).select(
-        "doc_id", F.explode("spans").alias("s"))
-    return spans.filter(F.col("s.kind") == "media").select(
-        F.col("doc_id").alias("src"), F.col("s.media_ref").alias("dst"))
+    d = _load(spark, sf_dir, "documents")
+    url = flagship.doc_url_col()
+    w = Window.partitionBy("source").orderBy("doc_id")
+    wrap = Window.partitionBy("source")
+
+    def lead_url(k: int):
+        return F.coalesce(
+            F.lead(url, k).over(w),
+            F.min_by(url, F.col("doc_id")).over(wrap),
+        )
+
+    # windows in their own projection (a generator can't consume
+    # unresolved window expressions directly), then the 3-way explode
+    return d.select(
+        url.alias("src"),
+        F.array(lead_url(1), lead_url(3), lead_url(9)).alias("_dsts"),
+    ).select("src", F.explode("_dsts").alias("dst"))
 
 
 # edges CTE shared by every media-graph oracle (media_ref_dedup,
