@@ -464,6 +464,9 @@ def make_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
     # near-empty Python tasks whose worker-spawn cost dwarfs the decode
     # work.  Size partitions for ~16 payloads each instead — a REAL
     # media table read from parquet gets its partitioning from the
-    # scan, so this only affects the synthetic source.
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(
+    # scan, so this only affects the synthetic source.  repartition,
+    # not coalesce: a LocalTableScan feeding a Python eval directly
+    # pays a measured ~4 s/job pathology on this Spark build; the
+    # exchange breaks the adjacency (see engine.bootstrap).
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(
         max(1, n // 16))

@@ -347,10 +347,14 @@ class CrawlEngine:
         # small seed lists: one partition + single-window id assignment
         # (same k<=4096 shortcut as run_round) — a driver-local list
         # parallelized to defaultParallelism otherwise drags 32 near-
-        # empty tasks through every admission stage
+        # empty tasks through every admission stage.  repartition, NOT
+        # coalesce: a LocalTableScan feeding ArrowEvalPython directly
+        # pays a measured ~4 s/job pathology on this Spark build (UDS
+        # and TCP alike); the exchange breaks the adjacency and the
+        # admission canonicalize hop runs in ~0.3 s
         small = len(seed_urls) <= 4096
         if small:
-            cand = cand.coalesce(1)
+            cand = cand.repartition(1)
         cleanup: list = []
         new_rows, _ = admission.admit(
             self.spark, cand, None, self.config, self.robots,
@@ -407,10 +411,11 @@ class CrawlEngine:
         )
         # same small-list shortcut as bootstrap: one partition, single
         # id-assignment window (ids are identical either way —
-        # tests/test_admission_plan.py)
+        # tests/test_admission_plan.py); repartition for the same
+        # LocalTableScan→ArrowEvalPython reason as bootstrap
         small_list = len(urls) <= 4096
         if small_list:
-            cand = cand.coalesce(1)
+            cand = cand.repartition(1)
         # the enqueue commit IS its own round (rnd+1), so its sequence
         # space starts fresh — no overlap with crawl-round sequences
         cleanup: list = []
