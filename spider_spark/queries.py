@@ -422,8 +422,13 @@ def _tokens_of(d: DataFrame) -> DataFrame:
     )
 
 
-def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _tokens_of(_docs(spark, sf_dir))
+def _tokens(spark: SparkSession, sf_dir: str,
+            spread: bool = True) -> DataFrame:
+    # spread=False for consumers that tokenize in several plan
+    # branches (the repartition shuffle would run once per branch)
+    # or whose cost is dominated by later stages, not the scan
+    d = _docs(spark, sf_dir) if spread else _load(spark, sf_dir, "documents")
+    return _tokens_of(d)
 
 
 _TOKENS_SQL = f"""
@@ -784,7 +789,7 @@ def q_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream BEFORE any shuffle (predicate on the exploded term),
     so the expensive groupBys see only query-term hits; per-doc totals
     come from the same token scan and join on doc_id."""
-    toks = _tokens(spark, sf_dir)
+    toks = _tokens(spark, sf_dir, spread=False)
     per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("total"))
     hits = (
         toks.filter(F.col("term").isin(*_SEARCH_TERMS))
@@ -959,7 +964,7 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(doc, term) tf table; the 1-row stats and the |terms|-row df
     table are broadcast — the only shuffle over corpus-sized data is
     the two groupBys on doc_id, which AQE coalesces."""
-    toks = _tokens(spark, sf_dir)
+    toks = _tokens(spark, sf_dir, spread=False)
     per_doc = toks.groupBy("doc_id").agg(
         F.count("*").cast("double").alias("dl"))
     stats = per_doc.agg(
@@ -2328,7 +2333,8 @@ SQL_LENGTH_HISTOGRAM = f"""
 """
 
 
-def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_unigram_xent(spark: SparkSession, sf_dir: str,
+                   spread: bool = True) -> DataFrame:
     """Per-document unigram cross-entropy (nats) under the corpus's own
     unigram distribution — the SQL-expressible analog of CCNet's LM
     perplexity filter: documents of improbable words score high and get
@@ -2346,7 +2352,7 @@ def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan.  Rounded to 4 decimals: the two engines sum the
     per-token logs in different orders, and 4 decimals leaves ~10⁹×
     headroom over double-precision drift (6 would leave ~10³×)."""
-    toks = _tokens(spark, sf_dir)
+    toks = _tokens(spark, sf_dir, spread=spread)
     counts = toks.groupBy("term").agg(F.count("*").cast("double").alias("occ"))
     total = counts.agg(F.sum("occ").alias("tot"))
     return (
@@ -2404,7 +2410,7 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumsum over that tiny frame (the vocab_coverage K-row-window
     shape, not a corpus-wide sort) → 1-row cutoffs broadcast →
     zero-shuffle projection."""
-    nll = q_unigram_xent(spark, sf_dir)
+    nll = q_unigram_xent(spark, sf_dir, spread=False)
     vals = nll.groupBy("unigram_nll").agg(F.count("*").alias("_c"))
     w = Window.orderBy("unigram_nll").rowsBetween(
         Window.unboundedPreceding, 0)
