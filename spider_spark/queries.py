@@ -1542,14 +1542,19 @@ def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     between Spark and the DuckDB oracle, so ranking ties break the
     same way in both engines (score desc, term asc).
 
-    Scale shape: two hash-aggs over the token stream (per-(doc,term)
-    occ, per-doc total) + a broadcast-sized per-term df join + one
-    window top-K per doc — the same shuffle profile as tf_relevance
-    plus a per-doc ranking; nothing driver-side."""
+    Scale shape: ONE hash-agg over the token stream (per-(doc,term)
+    occ); per-doc totals, per-term df and the doc count all derive
+    from that collapsed frame (total = sum(occ), df = row count per
+    term — identical integers by definition), so the corpus is
+    tokenized once, not once per branch, and the three identical
+    per_term subtrees share one exchange (ReusedExchange).  Then the
+    broadcast-sized df join + one window top-K per doc — the same
+    shuffle profile as tf_relevance plus a per-doc ranking; nothing
+    driver-side."""
     toks = _tokens(spark, sf_dir)
     per_term = toks.groupBy("doc_id", "term").agg(F.count("*").alias("occ"))
-    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("total"))
-    df_tbl = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    per_doc = per_term.groupBy("doc_id").agg(F.sum("occ").alias("total"))
+    df_tbl = per_term.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = per_doc.select(F.count("*").alias("n"))
     scored = (
         per_term.join(per_doc, "doc_id")
