@@ -28,7 +28,7 @@ sys.path.insert(0, REPO)
 
 RED = ("BatchEvalPython", "CartesianProduct")
 PY_PATHS = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
-            "AggregateInPandas", "MapInArrow")
+            "FlatMapCoGroupsInPandas", "AggregateInPandas", "MapInArrow")
 
 
 def main() -> int:
