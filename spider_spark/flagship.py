@@ -136,7 +136,12 @@ def run_flagship(
     """Returns (engine, postings DataFrame)."""
     workdir = workdir or tempfile.mkdtemp(prefix="spider_flagship_")
     corpus_path = os.path.join(workdir, "documents.parquet")
-    derive_corpus(spark, sf_dir, corpus_path)
+    # overlap independent driver-blocking jobs (guide §2.6): the corpus
+    # write runs concurrently with seed selection + the bootstrap
+    # commit — none of them read the corpus (the engine's documents
+    # frame is lazy and first touched by run()'s fetch join)
+    from concurrent.futures import ThreadPoolExecutor
+
     cfg = CrawlConfig(
         max_parallel_working=budget,
         max_parallel_non_working=budget,
@@ -146,7 +151,10 @@ def run_flagship(
         spark, SnapshotStore(os.path.join(workdir, "state")),
         corpus_path, cfg, use_bloom=use_bloom,
     )
-    eng.bootstrap(seed_urls(spark, sf_dir, n_hosts=n_seed_hosts,
-                            per_host=seeds_per_host))
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        corpus_fut = pool.submit(derive_corpus, spark, sf_dir, corpus_path)
+        eng.bootstrap(seed_urls(spark, sf_dir, n_hosts=n_seed_hosts,
+                                per_host=seeds_per_host))
+        corpus_fut.result()
     eng.run(n_rounds)
     return eng, eng.postings()
