@@ -1542,12 +1542,12 @@ def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     between Spark and the DuckDB oracle, so ranking ties break the
     same way in both engines (score desc, term asc).
 
-    Scale shape: ONE hash-agg over the token stream (per-(doc,term)
-    occ); per-doc totals, per-term df and the doc count all derive
-    from that collapsed frame (total = sum(occ), df = row count per
-    term — identical integers by definition), so the corpus is
-    tokenized once, not once per branch, and the three identical
-    per_term subtrees share one exchange (ReusedExchange).  Then the
+    Scale shape: the expensive per-branch work is ONE hash-agg over
+    the token stream (per-(doc,term) occ); per-doc totals, per-term df
+    and the doc count all derive from that collapsed frame (total =
+    sum(occ), df = row count per term — identical integers by
+    definition), so no branch re-aggregates the raw token stream (the
+    old df branch's countDistinct over tokens was the worst).  Then the
     broadcast-sized df join + one window top-K per doc — the same
     shuffle profile as tf_relevance plus a per-doc ranking; nothing
     driver-side."""
