@@ -1542,19 +1542,18 @@ def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     between Spark and the DuckDB oracle, so ranking ties break the
     same way in both engines (score desc, term asc).
 
-    Scale shape: the expensive per-branch work is ONE hash-agg over
-    the token stream (per-(doc,term) occ); per-doc totals, per-term df
-    and the doc count all derive from that collapsed frame (total =
-    sum(occ), df = row count per term — identical integers by
-    definition), so no branch re-aggregates the raw token stream (the
-    old df branch's countDistinct over tokens was the worst).  Then the
-    broadcast-sized df join + one window top-K per doc — the same
-    shuffle profile as tf_relevance plus a per-doc ranking; nothing
-    driver-side."""
+    Scale shape: two hash-aggs over the token stream (per-(doc,term)
+    occ, per-doc total) + a broadcast-sized per-term df join + one
+    window top-K per doc — the same shuffle profile as tf_relevance
+    plus a per-doc ranking; nothing driver-side.  (An r06 variant that
+    derived per_doc/df from the collapsed (doc,term) frame measured
+    EQUAL warm but 2x slower on the first shot — the stacked-aggregate
+    plan compiles far more codegen — and was reverted; the bench times
+    first shots.)"""
     toks = _tokens(spark, sf_dir)
     per_term = toks.groupBy("doc_id", "term").agg(F.count("*").alias("occ"))
-    per_doc = per_term.groupBy("doc_id").agg(F.sum("occ").alias("total"))
-    df_tbl = per_term.groupBy("term").agg(F.count("*").alias("df"))
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("total"))
+    df_tbl = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = per_doc.select(F.count("*").alias("n"))
     scored = (
         per_term.join(per_doc, "doc_id")
