@@ -926,25 +926,35 @@ def semdedup(
         ys = rpdf["_y"].to_numpy()
         nx = _fold_norm(X)
         ny = _fold_norm(Y)
-        # dot[i, j] = sequential fold over dims of X[i, d] * Y[j, d] —
-        # identical IEEE op order per pair as the JVM fold
-        dot = np.zeros((X.shape[0], Y.shape[0]), dtype=np.float64)
-        for d in range(X.shape[1]):
-            dot += X[:, d, None] * Y[None, :, d]
-        cos = dot / np.maximum(nx[:, None] * ny[None, :], 1e-12)
-        mask = (cos >= tau) & (ys[None, :] < xs[:, None])
-        if not mask.any():
-            return empty
+        out = []
+        # chunk the left rows so per-task temporaries stay ~O(100 MB)
+        # however large one cluster grows (each x row is independent,
+        # so chunking cannot change any value)
+        chunk = max(1, 12_000_000 // max(Y.shape[0], 1))
         sentinel = np.iinfo(np.int64).max
-        ymat = np.where(mask, ys[None, :], sentinel)
-        jbest = ymat.argmin(axis=1)
-        ybest = ymat[np.arange(len(xs)), jbest]
-        keep = ybest < sentinel
-        return pd.DataFrame({
-            id_col: xs[keep],
-            "dup_of": ybest[keep],
-            "cosine": cos[np.arange(len(xs)), jbest][keep],
-        })
+        for s in range(0, X.shape[0], chunk):
+            Xc, xc, nxc = X[s:s + chunk], xs[s:s + chunk], nx[s:s + chunk]
+            # dot[i, j] = sequential fold over dims of X[i, d] * Y[j, d]
+            # — identical IEEE op order per pair as the JVM fold
+            dot = np.zeros((Xc.shape[0], Y.shape[0]), dtype=np.float64)
+            for d in range(Xc.shape[1]):
+                dot += Xc[:, d, None] * Y[None, :, d]
+            cos = dot / np.maximum(nxc[:, None] * ny[None, :], 1e-12)
+            mask = (cos >= tau) & (ys[None, :] < xc[:, None])
+            if not mask.any():
+                continue
+            ymat = np.where(mask, ys[None, :], sentinel)
+            jbest = ymat.argmin(axis=1)
+            ybest = ymat[np.arange(len(xc)), jbest]
+            keep = ybest < sentinel
+            out.append(pd.DataFrame({
+                id_col: xc[keep],
+                "dup_of": ybest[keep],
+                "cosine": cos[np.arange(len(xc)), jbest][keep],
+            }))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
 
     return (
         left.groupBy("_cl", "_salt")
